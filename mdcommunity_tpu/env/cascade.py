@@ -1,0 +1,165 @@
+"""The interdependent-network LMCC cascade as a jit-compatible fixed point.
+
+Reference semantics (Mcc.py:30-38 + mvc_env.py:140-162): after node removals, the
+two layers' connected-component partitions must agree; edges of one layer whose
+endpoints lie in different components of the *other* layer are severed, and the
+process alternates until both partitions coincide.  Severed edges are recorded and
+persist in the MDP state.  The largest set in the common partition is the LMCC
+("rank").
+
+This file re-derives that as masks + fixed points instead of networkx mutation:
+
+* Connected components = iterated min-label propagation with pointer-jumping
+  shortcuts (`lab <- min(lab, lab[lab], min-neighbor label)`), a `lax.while_loop`
+  with a data-independent convergence test.  O(E) work per round, O(log N)-ish
+  rounds on typical graphs.
+* The cascade = outer `lax.while_loop` alternating the two layers, severing live
+  edges whose endpoints carry different labels in the other layer.  The final
+  severed set equals the reference's: severing is monotone (an edge that crosses
+  components keeps crossing as more edges disappear), so every maximal deletion
+  sequence reaches the same greatest fixed point — deletion order, which differs
+  between this implementation and Mcc.py's, cannot change the result.
+
+Trajectory (in)dependence — important subtlety the tests pin down:
+  For a fixed covered-node set C, the *live* subgraph (unsevered edges between
+  uncovered nodes) is a pure function of (graph, C) — the greatest fixed point.
+  The accumulated severed set is NOT: an edge can be severed at step s and have an
+  endpoint covered later; it stays in the severed record (the reference's
+  remove_edge never shrinks) whereas a from-scratch cascade on C never severs it
+  (its endpoint is already dead).  That record feeds the covered-edge aux feature
+  (PrepareBatchGraph.get_status_info :45-74 skips severed edges before counting
+  covered ones), so exact parity requires threading the true severed mask through
+  replay — see rl/replay.py.  Restricted to edges with both endpoints uncovered,
+  incremental and from-scratch severed sets DO coincide.
+
+All functions are shape-static and vmap/jit friendly; node death is a mask.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mdcommunity_tpu.graphs.duplex import DuplexGraph
+
+# Sentinel label for dead nodes: bigger than any node index.
+_BIG = jnp.int32(2**30)
+
+
+def _propagate_once(lab, src, dst, w_mask, pad_n):
+    """One label-propagation round: lab[v] <- min(lab[v], lab[lab[v]], min_{u~v} lab[u])."""
+    # min over incoming live edges (segment-min of src labels at dst)
+    msg = jnp.full((pad_n,), _BIG, dtype=lab.dtype)
+    edge_lab = jnp.where(w_mask, lab[src], _BIG)
+    msg = msg.at[dst].min(edge_lab)
+    # pointer jumping: follow current representative (clip sentinel for safe gather)
+    jump = lab[jnp.clip(lab, 0, pad_n - 1)]
+    jump = jnp.where(lab < pad_n, jump, lab)
+    return jnp.minimum(jnp.minimum(lab, msg), jump)
+
+
+def _cc_labels(alive_node, src, dst, live_edge, pad_n):
+    """Connected-component labels (= min node index in component) for one layer.
+
+    Dead nodes get the sentinel _BIG.  int32[pad_n].
+    """
+    init = jnp.where(alive_node, jnp.arange(pad_n, dtype=jnp.int32), _BIG)
+
+    def cond(state):
+        lab, changed = state
+        return changed
+
+    def body(state):
+        lab, _ = state
+        new = _propagate_once(lab, src, dst, live_edge, pad_n)
+        return new, jnp.any(new != lab)
+
+    # one unconditional round, then iterate to convergence
+    lab0 = _propagate_once(init, src, dst, live_edge, pad_n)
+    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.any(lab0 != init)))
+    return lab
+
+
+def connected_components(alive_node, src, dst, live_edge):
+    """Public helper: component labels for one layer (min-index labeling)."""
+    pad_n = alive_node.shape[0]
+    return _cc_labels(alive_node, src, dst, live_edge, pad_n)
+
+
+class CascadeResult(NamedTuple):
+    rank: jnp.ndarray        # int32[] LMCC size (max mutually-connected comp.)
+    sever: jnp.ndarray       # bool[2, E] updated severed-edge masks
+    labels: jnp.ndarray      # int32[N] common partition labels (sentinel=dead)
+    live_edge: jnp.ndarray   # bool[2, E] final live (unsevered, endpoints alive)
+
+
+def cascade(g: DuplexGraph, covered: jnp.ndarray, sever: jnp.ndarray) -> CascadeResult:
+    """Run the mutually-connected-component cascade.
+
+    Args:
+      g: unbatched padded DuplexGraph.
+      covered: bool[N] removed-node mask.
+      sever: bool[2, E] previously severed directed-edge mask (persistent state,
+        reference: mvc_env.py remove_edge threading).
+
+    Matches Mcc.MCC + find_max_set_length (Mcc.py:30-38,12-13) on the graph induced
+    by uncovered nodes.
+    """
+    pad_n = g.pad_n
+    alive = g.node_mask & ~covered
+
+    def live(sev):
+        ep = ~covered[g.src] & ~covered[g.dst]
+        return g.edge_mask & ~sev & ep
+
+    def body(state):
+        sev, _ = state
+        le = live(sev)
+        lab0 = _cc_labels(alive, g.src[0], g.dst[0], le[0], pad_n)
+        # sever live layer-1 edges crossing layer-0 components
+        cross1 = le[1] & (lab0[g.src[1]] != lab0[g.dst[1]])
+        sev = sev.at[1].set(sev[1] | cross1)
+        le = live(sev)
+        lab1 = _cc_labels(alive, g.src[1], g.dst[1], le[1], pad_n)
+        cross0 = le[0] & (lab1[g.src[0]] != lab1[g.dst[0]])
+        sev = sev.at[0].set(sev[0] | cross0)
+        changed = jnp.any(cross0) | jnp.any(cross1)
+        return sev, changed
+
+    def cond(state):
+        return state[1]
+
+    sever, _ = jax.lax.while_loop(cond, body, body((sever, jnp.bool_(True))))
+    le = live(sever)
+    labels = _cc_labels(alive, g.src[0], g.dst[0], le[0], pad_n)
+    # component sizes: count alive nodes per label
+    sizes = jnp.zeros(pad_n, jnp.int32).at[
+        jnp.clip(labels, 0, pad_n - 1)
+    ].add(jnp.where(alive, 1, 0))
+    rank = jnp.max(sizes)
+    return CascadeResult(rank=rank, sever=sever, labels=labels, live_edge=le)
+
+
+@jax.jit
+def cascade_from_scratch(g: DuplexGraph, covered: jnp.ndarray) -> CascadeResult:
+    """Cascade computed from only the covered set (no prior sever state).
+
+    The resulting *live* edge set (and hence rank/terminality) matches any
+    incremental trajectory reaching this covered set; the severed mask itself may
+    be a subset of the incremental record (see module docstring).
+    """
+    sever0 = jnp.zeros_like(g.edge_mask)
+    return cascade(g, covered, sever0)
+
+
+def intact_max_rank(g: DuplexGraph) -> jnp.ndarray:
+    """LMCC of the intact graph (reference: graph.py ori_rank :44-47)."""
+    covered = jnp.zeros(g.pad_n, bool)
+    return _jitted_intact(g, covered)
+
+
+@jax.jit
+def _jitted_intact(g, covered):
+    return cascade(g, covered, jnp.zeros_like(g.edge_mask)).rank

@@ -1,0 +1,209 @@
+"""Duplex (two-layer interdependent) graph containers with static, padded shapes.
+
+The reference stores graphs as networkx adjacency lists (reference: graph.py:17-30,
+Graph_test :69-84) and re-compacts indices on every environment step
+(PrepareBatchGraph.py:110-163) so tensor sizes shrink as nodes die.  On TPU that
+dynamic-shape strategy defeats XLA, so the design here is the opposite: every graph
+is padded once to a static (pad_nodes, pad_edges) envelope and *death is a mask*,
+never a reshape.  A batch of graphs is a stacked pytree; everything downstream
+(cascade, environment, model) is vmap/jit over these fixed shapes.
+
+Edges are stored as directed pairs (both orientations of each undirected edge) so
+neighborhood aggregation is a single segment-sum / one-hot matmul, and the
+undirected edge count is `edge_mask.sum() / 2` per layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DuplexGraph:
+    """A (possibly batched) padded duplex graph.
+
+    Unbatched shapes:
+      src, dst    : int32[2, E]  directed endpoints; padding rows point at node 0
+      edge_mask   : bool[2, E]   True for real directed edges
+      node_mask   : bool[N]      True for real nodes
+      n_nodes     : int32[]      true node count
+      n_edges     : int32[2]     true *undirected* edge counts per layer
+      max_rank    : int32[]      LMCC size of the intact duplex graph
+      weights     : f32[2, N]    per-layer node removal-cost weights
+                                 (unit variant: 1.0; degree variant: deg/maxdeg,
+                                  reference: MultiDismantler_degree_cost/graph.py:39-51)
+      node_feat   : f32[N]       static per-node prior feature (CE variant Louvain
+                                 prior, reference: CEMultiDismantler/dataset.py:90-150;
+                                 zeros otherwise)
+      boundary    : bool[N]      CE boundary-node flag (action pruning prior)
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    edge_mask: jnp.ndarray
+    node_mask: jnp.ndarray
+    n_nodes: jnp.ndarray
+    n_edges: jnp.ndarray
+    max_rank: jnp.ndarray
+    weights: jnp.ndarray
+    node_feat: jnp.ndarray
+    boundary: jnp.ndarray
+
+    @property
+    def pad_n(self) -> int:
+        return self.node_mask.shape[-1]
+
+    @property
+    def pad_e(self) -> int:
+        return self.src.shape[-1]
+
+    def degrees(self) -> jnp.ndarray:
+        """Structural (intact-graph) per-layer degrees, f32[2, N]."""
+        w = self.edge_mask.astype(jnp.float32)
+        return jax.vmap(
+            lambda s, m: jnp.zeros(self.pad_n).at[s].add(m)
+        )(self.src, w)
+
+
+def _pad_edges_np(edges: np.ndarray, pad_e: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """edges: int array [M, 2] of undirected pairs -> directed padded (src, dst, mask)."""
+    if len(edges) == 0:
+        src = np.zeros(pad_e, np.int32)
+        dst = np.zeros(pad_e, np.int32)
+        mask = np.zeros(pad_e, bool)
+        return src, dst, mask
+    e = np.asarray(edges, np.int32)
+    src = np.concatenate([e[:, 0], e[:, 1]])
+    dst = np.concatenate([e[:, 1], e[:, 0]])
+    m = len(src)
+    if m > pad_e:
+        raise ValueError(f"graph has {m} directed edges > pad_edges={pad_e}")
+    pad = pad_e - m
+    src = np.concatenate([src, np.zeros(pad, np.int32)])
+    dst = np.concatenate([dst, np.zeros(pad, np.int32)])
+    mask = np.concatenate([np.ones(m, bool), np.zeros(pad, bool)])
+    return src, dst, mask
+
+
+def build_duplex(
+    n_nodes: int,
+    edges0: Sequence[Tuple[int, int]],
+    edges1: Sequence[Tuple[int, int]],
+    pad_nodes: int,
+    pad_edges: int,
+    weights: np.ndarray | None = None,
+    node_feat: np.ndarray | None = None,
+    boundary: np.ndarray | None = None,
+    max_rank: int | None = None,
+) -> DuplexGraph:
+    """Build a padded DuplexGraph from undirected edge lists (host side).
+
+    If max_rank is None, it is computed with the device cascade on the intact graph
+    (the reference computes it with networkx at graph build time, graph.py:44-47).
+    """
+    if pad_nodes < n_nodes:
+        raise ValueError(f"pad_nodes={pad_nodes} < n_nodes={n_nodes}")
+    e0 = np.asarray(list(edges0), np.int32).reshape(-1, 2)
+    e1 = np.asarray(list(edges1), np.int32).reshape(-1, 2)
+    # drop self loops & dedupe (reference readers skip self loops,
+    # MultiDismantler_torch.py:628-629; networkx dedupes parallel edges)
+    def clean(e):
+        if len(e) == 0:
+            return e
+        e = e[e[:, 0] != e[:, 1]]
+        lo = np.minimum(e[:, 0], e[:, 1])
+        hi = np.maximum(e[:, 0], e[:, 1])
+        return np.unique(np.stack([lo, hi], 1), axis=0)
+    e0, e1 = clean(e0), clean(e1)
+    s0, d0, m0 = _pad_edges_np(e0, pad_edges)
+    s1, d1, m1 = _pad_edges_np(e1, pad_edges)
+    node_mask = np.arange(pad_nodes) < n_nodes
+    if weights is None:
+        weights = np.ones((2, pad_nodes), np.float32)
+    else:
+        w = np.zeros((2, pad_nodes), np.float32)
+        w[:, : weights.shape[1]] = weights
+        weights = w
+    if node_feat is None:
+        node_feat = np.zeros(pad_nodes, np.float32)
+    else:
+        f = np.zeros(pad_nodes, np.float32)
+        f[: len(node_feat)] = node_feat
+        node_feat = f
+    if boundary is None:
+        boundary = np.zeros(pad_nodes, bool)
+    else:
+        b = np.zeros(pad_nodes, bool)
+        b[: len(boundary)] = boundary
+        boundary = b
+
+    g = DuplexGraph(
+        src=jnp.asarray(np.stack([s0, s1])),
+        dst=jnp.asarray(np.stack([d0, d1])),
+        edge_mask=jnp.asarray(np.stack([m0, m1])),
+        node_mask=jnp.asarray(node_mask),
+        n_nodes=jnp.asarray(n_nodes, jnp.int32),
+        n_edges=jnp.asarray([len(e0), len(e1)], jnp.int32),
+        max_rank=jnp.asarray(0, jnp.int32),
+        weights=jnp.asarray(weights),
+        node_feat=jnp.asarray(node_feat),
+        boundary=jnp.asarray(boundary),
+    )
+    if max_rank is None:
+        from mdcommunity_tpu.env.cascade import intact_max_rank
+
+        max_rank = int(intact_max_rank(g))
+    return dataclasses.replace(g, max_rank=jnp.asarray(max_rank, jnp.int32))
+
+
+def stack_graphs(graphs: List[DuplexGraph]) -> DuplexGraph:
+    """Stack same-padding graphs into a batched DuplexGraph (leading axis B)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *graphs)
+
+
+def index_graphs(batched: DuplexGraph, idx: jnp.ndarray) -> DuplexGraph:
+    """Gather a sub-batch of a batched DuplexGraph by integer indices."""
+    return jax.tree_util.tree_map(lambda x: x[idx], batched)
+
+
+class GraphPool:
+    """Train/valid graph pools (reference: GSet, graph.py:49-67).
+
+    Holds a batched DuplexGraph on device; sampling returns indices so replay can
+    store graph ids instead of graph payloads.
+    """
+
+    def __init__(self):
+        self._graphs: List[DuplexGraph] = []
+        self._stacked: DuplexGraph | None = None
+
+    def insert(self, g: DuplexGraph):
+        self._graphs.append(g)
+        self._stacked = None
+
+    def clear(self):
+        self._graphs = []
+        self._stacked = None
+
+    def __len__(self):
+        return len(self._graphs)
+
+    @property
+    def stacked(self) -> DuplexGraph:
+        if self._stacked is None:
+            if not self._graphs:
+                raise ValueError("empty GraphPool")
+            self._stacked = stack_graphs(self._graphs)
+        return self._stacked
+
+    def get(self, gid: int) -> DuplexGraph:
+        return self._graphs[gid]
+
+    def sample_ids(self, rng: np.random.Generator, k: int) -> np.ndarray:
+        return rng.integers(0, len(self._graphs), size=k)
