@@ -1,0 +1,202 @@
+"""The duplex dismantling Q-network, batched and mask-based.
+
+Re-derivation of the reference model family (MultiDismantler_net_graphsage.py):
+per duplex layer, 3 rounds of GraphSAGE-style message passing with a per-graph
+virtual node, cross-layer fusion (BitwiseMultipyLogis), then a bilinear
+state-action Q head with a learned per-layer softmax gate.  The reference runs
+on one block-diagonal compacted batch graph; here everything is [B, N] padded
+with dead nodes masked (their embeddings are exactly zero, so they vanish from
+sums — no renumbering, fully jit/vmap-able).
+
+Math map (reference file:line):
+  input           x_l = deg/maxdeg duplicated         net :102-111
+  embed init      H0 = l2n(relu(x @ w_n2l))           net :113-130
+  virtual init    Y0 = l2n(relu([1,1] @ w_n2l))       net :121-136
+  rounds (×3)     pool = A_l @ H                      net :139-140  (spmm)
+                  H' = l2n(relu([pool@c1 ; H@c2]@c3)) net :143-159
+                  ypool = Σ_active H                  net :146-150  (subgsum spmm)
+                  Y' = l2n(relu([ypool@c1; Y@c2]@c3)) net :150-169
+  fusion          BitwiseMultipyLogis over node+virtual rows, then l2n
+                                                      net :176-186, MRGNN :252-301
+  Q (train)       e = H_f[l][b, a] * (Y_f[l][b]·cross) net :199-212
+                  q_l = [relu(e@h1) ; aux_l] @ h2      net :216-235
+                  gate_l = relu(Y_f[l]@W1)@W2, softmax net :234-238
+  Q (test)        same per node with Y broadcast       net :343-393
+
+Parameter count identical to the reference: 31,205 for the 2-feature variants
+(log line "Total number of MultiDismantler_net parameters", CE: 31,269 with the
+3-dim input widening w_n2l to [3,64]).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mdcommunity_tpu.env.batch import BatchInputs
+from mdcommunity_tpu.graphs.duplex import DuplexGraph
+from mdcommunity_tpu.models.fusion import bitwise_logis_fuse, init_bitwise_logis
+from mdcommunity_tpu.ops.aggregate import l2_normalize, segment_spmm
+
+Params = Dict[str, jnp.ndarray]
+
+
+def _trunc_normal(key, shape, std):
+    """fmod(normal(0, std), 2): the reference's initializer (net :30)."""
+    return jnp.fmod(jax.random.normal(key, shape) * std, 2.0).astype(jnp.float32)
+
+
+def init_params(
+    key,
+    embedding_size: int = 64,
+    reg_hidden: int = 32,
+    aux_dim: int = 4,
+    node_feat_dim: int = 2,
+    gate_hidden: int = 128,
+    w_init_std: float = 1.0,
+) -> Params:
+    ks = jax.random.split(key, 10)
+    d = embedding_size
+    p: Params = {
+        "w_n2l": _trunc_normal(ks[0], (node_feat_dim, d), w_init_std),
+        "p_node_conv": _trunc_normal(ks[1], (d, d), w_init_std),
+        "p_node_conv2": _trunc_normal(ks[2], (d, d), w_init_std),
+        "p_node_conv3": _trunc_normal(ks[3], (2 * d, d), w_init_std),
+        "h1_weight": _trunc_normal(ks[4], (d, reg_hidden), w_init_std),
+        "h2_weight": _trunc_normal(ks[5], (reg_hidden + aux_dim, 1), w_init_std),
+        "cross_product": _trunc_normal(ks[6], (d, 1), w_init_std),
+        "w_layer1": _trunc_normal(ks[7], (d, gate_hidden), w_init_std),
+        "w_layer2": _trunc_normal(ks[8], (gate_hidden, 1), w_init_std),
+        "fusion": init_bitwise_logis(ks[9], d),
+    }
+    return p
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def _aggregate(g: DuplexGraph, inputs: BatchInputs, layer: int, h: jnp.ndarray):
+    """Live-adjacency SpMM for one duplex layer: [B, N, D] -> [B, N, D]."""
+    if inputs.adj is not None:
+        return jnp.einsum(
+            "bij,bjd->bid", inputs.adj[:, layer], h, preferred_element_type=jnp.float32
+        )
+    return jax.vmap(
+        lambda s, d_, w, hh: segment_spmm(s, d_, w, hh, hh.shape[0])
+    )(g.src[:, layer], g.dst[:, layer], inputs.live_w[:, layer], h)
+
+
+def _embed(params: Params, g: DuplexGraph, inputs: BatchInputs, max_bp_iter: int):
+    """Run per-layer message passing + fusion.
+
+    Returns (H_fused [2, B, N, D], Y_fused [2, B, D]) — l2-normalized.
+    """
+    node_embs = []
+    virt_embs = []
+    ones_feat = jnp.ones((inputs.node_input.shape[-1],), jnp.float32)
+    for l in range(2):
+        x = inputs.node_input[:, l]  # [B, N, F]
+        h = l2_normalize(jax.nn.relu(x @ params["w_n2l"]))
+        y = l2_normalize(jax.nn.relu(ones_feat @ params["w_n2l"]))  # [D]
+        y = jnp.broadcast_to(y, (x.shape[0], y.shape[-1]))  # [B, D]
+        for _ in range(max_bp_iter):
+            pool = _aggregate(g, inputs, l, h)
+            h_new = jnp.concatenate(
+                [pool @ params["p_node_conv"], h @ params["p_node_conv2"]], axis=-1
+            )
+            ypool = jnp.sum(h, axis=1)  # inactive rows are exactly 0
+            y_new = jnp.concatenate(
+                [ypool @ params["p_node_conv"], y @ params["p_node_conv2"]], axis=-1
+            )
+            h = l2_normalize(jax.nn.relu(h_new @ params["p_node_conv3"]))
+            y = l2_normalize(jax.nn.relu(y_new @ params["p_node_conv3"]))
+        node_embs.append(h)
+        virt_embs.append(y)
+
+    # cross-layer fusion over node rows and virtual rows (row-wise module)
+    h0, h1 = bitwise_logis_fuse(params["fusion"], node_embs[0], node_embs[1])
+    y0, y1 = bitwise_logis_fuse(params["fusion"], virt_embs[0], virt_embs[1])
+    h_f = jnp.stack([l2_normalize(h0), l2_normalize(h1)])  # [2, B, N, D]
+    y_f = jnp.stack([l2_normalize(y0), l2_normalize(y1)])  # [2, B, D]
+    # keep dead nodes exactly zero after fusion (tanh bias can leak otherwise)
+    h_f = h_f * inputs.active[None, :, :, None]
+    return h_f, y_f
+
+
+def _gate(params: Params, y_f: jnp.ndarray) -> jnp.ndarray:
+    """Per-layer softmax gate from virtual embeddings: [2, B] (net :234-238)."""
+    s = jax.nn.relu(y_f @ params["w_layer1"]) @ params["w_layer2"]  # [2, B, 1]
+    return jax.nn.softmax(s[..., 0], axis=0)
+
+
+def _q_head(params: Params, embed_sa: jnp.ndarray, aux_l: jnp.ndarray) -> jnp.ndarray:
+    """[..., D] state-action embedding + [..., aux] -> scalar q [...]."""
+    hidden = jax.nn.relu(embed_sa @ params["h1_weight"])
+    last = jnp.concatenate([hidden, aux_l], axis=-1)
+    return (last @ params["h2_weight"])[..., 0]
+
+
+def train_forward(
+    params: Params,
+    g: DuplexGraph,
+    inputs: BatchInputs,
+    actions: jnp.ndarray,
+    max_bp_iter: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Q(s, a) for chosen actions.  Returns (q [B], H_fused [2, B, N, D])."""
+    h_f, y_f = _embed(params, g, inputs, max_bp_iter)
+    b = jnp.arange(actions.shape[0])
+    q_layers = []
+    for l in range(2):
+        a_embed = h_f[l][b, actions]                     # [B, D]
+        scal = y_f[l] @ params["cross_product"]          # [B, 1]
+        embed_sa = a_embed * scal                        # [B, D]
+        q_layers.append(_q_head(params, embed_sa, inputs.aux[:, l]))
+    w = _gate(params, y_f)                               # [2, B]
+    q = w[0] * q_layers[0] + w[1] * q_layers[1]
+    return q, h_f
+
+
+def test_forward(
+    params: Params,
+    g: DuplexGraph,
+    inputs: BatchInputs,
+    max_bp_iter: int = 3,
+) -> jnp.ndarray:
+    """Q(s, ·) for every node: [B, N]; dead nodes get -inf."""
+    h_f, y_f = _embed(params, g, inputs, max_bp_iter)
+    q_layers = []
+    for l in range(2):
+        scal = y_f[l] @ params["cross_product"]          # [B, 1]
+        embed_sa = h_f[l] * scal[:, None, :]             # [B, N, D]
+        aux_l = jnp.broadcast_to(
+            inputs.aux[:, None, l, :], (h_f.shape[1], h_f.shape[2], inputs.aux.shape[-1])
+        )
+        q_layers.append(_q_head(params, embed_sa, aux_l))  # [B, N]
+    w = _gate(params, y_f)                               # [2, B]
+    q = w[0][:, None] * q_layers[0] + w[1][:, None] * q_layers[1]
+    return jnp.where(inputs.active, q, -jnp.inf)
+
+
+def laplacian_regularizer(
+    h_f: jnp.ndarray, g: DuplexGraph, inputs: BatchInputs
+) -> jnp.ndarray:
+    """Σ_l 2·tr(HᵀLH)/|E_l| with L = D - A of the live subgraph, summed over the
+    batch as one block-diagonal graph (reference: calc_loss,
+    MultiDismantler_torch.py:410-431).
+
+    tr(HᵀLH) = Σ_v deg_v·||H_v||² - Σ_{(u,v) directed} H_u·H_v.
+    """
+    total = 0.0
+    for l in range(2):
+        h = h_f[l]                                       # [B, N, D]
+        deg = inputs.deg[:, l]                           # [B, N]
+        quad = jnp.sum(deg * jnp.sum(h * h, axis=-1))
+        ah = _aggregate(g, inputs, l, h)
+        cross = jnp.sum(h * ah)
+        denom = jnp.maximum(jnp.sum(inputs.n_dir_live[:, l]), 1.0)
+        total = total + 2.0 * (quad - cross) / denom
+    return total
