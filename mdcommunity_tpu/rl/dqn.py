@@ -1,0 +1,422 @@
+"""The DQN agent: vectorized rollouts, jitted fitting, validation, checkpoints.
+
+Reference: class MultiDismantler (MultiDismantler_torch.py).  Structural map:
+
+  Train                :433-547   -> DQNAgent.train (same schedule: regen pool /
+                                     play / validate / snapshot / fit cadence)
+  Run_simulator        :183-208   -> DQNAgent.play_games — but over a *vector* of
+                                     num_env environments stepped on device
+                                     (reference: num_env=1, Python loop)
+  Predict/SetuppredAll :247-302   -> predict_q (jit: batch assembly + forward)
+  Fit/fit/calc_loss    :315-431   -> train_step (jit: target + loss + adam)
+  TakeSnapShot         :312-313   -> target_params <- params
+  Test                 :738-755   -> validate (all validation envs rolled out in
+                                     one batched greedy sweep)
+  SaveModel/LoadModel  :787-797   -> save / load (full training state: params,
+                                     target, optimizer, RNG — true resume,
+                                     unlike the reference's weights-only ckpt)
+
+Epsilon schedule: eps_end + max(0, (eps_start-eps_end)·(eps_step-iter)/eps_step
+(reference :501).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import time
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mdcommunity_tpu.env.batch import make_batch_inputs
+from mdcommunity_tpu.env.env import EnvState, batched_reset, batched_step
+from mdcommunity_tpu.graphs.duplex import DuplexGraph, GraphPool, index_graphs
+from mdcommunity_tpu.graphs.gmm import generate_pool
+from mdcommunity_tpu.models.net import (
+    init_params,
+    laplacian_regularizer,
+    param_count,
+    test_forward,
+    train_forward,
+)
+from mdcommunity_tpu.utils.config import Config
+
+
+# ---------------------------------------------------------------------------
+# jitted compute
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("variant", "dense", "max_bp_iter"))
+def predict_q(params, g: DuplexGraph, covered, sever, variant="unit_cost",
+              dense=True, max_bp_iter=3):
+    """Batched Q(s, ·) with dead/covered nodes at -inf (reference Predict)."""
+    inputs = make_batch_inputs(g, covered, sever, dense=dense, variant=variant)
+    return test_forward(params, g, inputs, max_bp_iter=max_bp_iter)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("variant", "gamma", "alpha_recon", "use_double_dqn",
+                     "use_huber", "max_bp_iter", "optimizer"),
+)
+def train_step(
+    params,
+    target_params,
+    opt_state,
+    g: DuplexGraph,
+    covered_st,
+    sever_st,
+    actions,
+    rewards,
+    covered_sp,
+    sever_sp,
+    terminal,
+    variant="unit_cost",
+    gamma=1.0,
+    alpha_recon=1e-3,
+    use_double_dqn=False,
+    use_huber=False,
+    max_bp_iter=3,
+    optimizer=None,
+):
+    """One SGD step (reference Fit -> fit -> calc_loss, :315-431)."""
+    inputs_sp = make_batch_inputs(g, covered_sp, sever_sp, dense=True, variant=variant)
+    q_sp_t = test_forward(target_params, g, inputs_sp, max_bp_iter=max_bp_iter)
+    if use_double_dqn:
+        q_sp_o = test_forward(params, g, inputs_sp, max_bp_iter=max_bp_iter)
+        a_star = jnp.argmax(q_sp_o, axis=1)
+        max_q = jnp.take_along_axis(q_sp_t, a_star[:, None], axis=1)[:, 0]
+    else:
+        max_q = jnp.max(q_sp_t, axis=1)
+    max_q = jnp.where(terminal, 0.0, max_q)
+    target = rewards + gamma * max_q
+    target = jax.lax.stop_gradient(target)
+
+    inputs_st = make_batch_inputs(g, covered_st, sever_st, dense=True, variant=variant)
+
+    def loss_fn(p):
+        q, h_f = train_forward(p, g, inputs_st, actions, max_bp_iter=max_bp_iter)
+        if use_huber:
+            td = optax.huber_loss(q, target, delta=1.0)
+            mse = jnp.mean(td)
+        else:
+            mse = jnp.mean((target - q) ** 2)
+        recon = laplacian_regularizer(h_f, g, inputs_st)
+        return mse + alpha_recon * recon, (mse, recon)
+
+    (loss, (mse, recon)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, mse, recon
+
+
+# ---------------------------------------------------------------------------
+# the agent
+# ---------------------------------------------------------------------------
+
+class DQNAgent:
+    def __init__(self, cfg: Config, seed: Optional[int] = None):
+        self.cfg = cfg
+        seed = cfg.seed if seed is None else seed
+        self.nprng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        self.key, init_key = jax.random.split(key)
+        self.params = init_params(
+            init_key,
+            embedding_size=cfg.embedding_size,
+            reg_hidden=cfg.reg_hidden,
+            aux_dim=cfg.aux_dim,
+            node_feat_dim=cfg.node_feat_dim,
+            gate_hidden=cfg.gate_hidden,
+            w_init_std=cfg.w_init_std,
+        )
+        self.target_params = jax.tree_util.tree_map(jnp.copy, self.params)
+        self.optimizer = optax.adam(cfg.learning_rate)
+        self.opt_state = self.optimizer.init(self.params)
+
+        from mdcommunity_tpu.rl.replay import NStepReplay
+
+        self.replay = NStepReplay(
+            cfg.memory_size, cfg.pad_nodes, cfg.pad_edges, cfg.n_step
+        )
+        self.train_pool = GraphPool()
+        self.valid_pool = GraphPool()
+        self.iteration = 0
+        self._env_state: Optional[EnvState] = None
+        self._env_gids: Optional[np.ndarray] = None
+        self._env_graphs: Optional[DuplexGraph] = None
+        self._traj: List[dict] = []
+
+    # -- data ----------------------------------------------------------------
+    @property
+    def degree_cost(self) -> bool:
+        return self.cfg.variant == "degree_cost"
+
+    def gen_new_graphs(self):
+        """Refresh the training pool (reference gen_new_graphs :151-160)."""
+        self.train_pool.clear()
+        for g in generate_pool(
+            self.nprng, self.cfg.n_train, self.cfg.num_min, self.cfg.num_max,
+            self.cfg.pad_nodes, self.cfg.pad_edges, self.degree_cost,
+        ):
+            self.train_pool.insert(g)
+        # envs hold ids into the old pool; force re-reset
+        self._env_state = None
+
+    def prepare_valid_data(self):
+        self.valid_pool.clear()
+        for g in generate_pool(
+            self.nprng, self.cfg.n_valid, self.cfg.num_min, self.cfg.num_max,
+            self.cfg.pad_nodes, self.cfg.pad_edges, self.degree_cost,
+        ):
+            self.valid_pool.insert(g)
+
+    # -- rollouts -------------------------------------------------------------
+    def _reset_envs(self, ids_to_reset: Optional[np.ndarray] = None):
+        ne = self.cfg.num_env
+        if self._env_state is None or ids_to_reset is None:
+            self._env_gids = self.train_pool.sample_ids(self.nprng, ne)
+            self._env_graphs = index_graphs(
+                self.train_pool.stacked, jnp.asarray(self._env_gids)
+            )
+            self._env_state = batched_reset(self._env_graphs)
+            self._traj = [self._new_traj(i) for i in range(ne)]
+        else:
+            self._env_gids[ids_to_reset] = self.train_pool.sample_ids(
+                self.nprng, len(ids_to_reset)
+            )
+            self._env_graphs = index_graphs(
+                self.train_pool.stacked, jnp.asarray(self._env_gids)
+            )
+            state = self._env_state
+            fresh = batched_reset(self._env_graphs)
+            mask = np.zeros(ne, bool)
+            mask[ids_to_reset] = True
+            m = jnp.asarray(mask)
+
+            def mix(a, b):
+                shape = (-1,) + (1,) * (a.ndim - 1)
+                return jnp.where(m.reshape(shape), b, a)
+
+            self._env_state = jax.tree_util.tree_map(mix, state, fresh)
+            for i in ids_to_reset:
+                self._traj[i] = self._new_traj(i)
+
+    def _new_traj(self, i):
+        st = self._env_state
+        return {
+            "gid": int(self._env_gids[i]),
+            "covered": [np.asarray(st.covered[i])],
+            "sever": [np.asarray(st.sever[i])],
+            "actions": [],
+            "rewards": [],
+        }
+
+    def play_games(self, n_traj: int, eps: float):
+        """Collect n_traj finished episodes into replay (reference Run_simulator)."""
+        if len(self.train_pool) == 0:
+            self.gen_new_graphs()
+        if self._env_state is None:
+            self._reset_envs()
+        done = 0
+        guard = 0
+        while done < n_traj and guard < 100000:
+            guard += 1
+            term = np.asarray(self._env_state.terminal)
+            finished = np.nonzero(term)[0]
+            if len(finished):
+                for i in finished:
+                    t = self._traj[i]
+                    if t["actions"]:
+                        self.replay.add_episode(
+                            t["gid"], t["covered"], t["sever"], t["actions"], t["rewards"]
+                        )
+                        done += 1
+                self._reset_envs(finished)
+                if done >= n_traj:
+                    break
+                # immediately-terminal fresh graphs are handled next loop
+                continue
+
+            if self.nprng.uniform() >= eps:
+                q = predict_q(
+                    self.params, self._env_graphs, self._env_state.covered,
+                    self._env_state.sever, self.cfg.variant,
+                )
+                actions = jnp.argmax(q, axis=1)
+            else:
+                from mdcommunity_tpu.env.env import batched_random_actions
+
+                self.key, k = jax.random.split(self.key)
+                actions = batched_random_actions(self._env_graphs, self._env_state, k)
+
+            new_state, rewards = batched_step(
+                self._env_graphs, self._env_state, actions, self.degree_cost
+            )
+            acts_np = np.asarray(actions)
+            rew_np = np.asarray(rewards)
+            cov_np = np.asarray(new_state.covered)
+            sev_np = np.asarray(new_state.sever)
+            for i in range(self.cfg.num_env):
+                t = self._traj[i]
+                t["actions"].append(int(acts_np[i]))
+                t["rewards"].append(float(rew_np[i]))
+                t["covered"].append(cov_np[i])
+                t["sever"].append(sev_np[i])
+            self._env_state = new_state
+
+    # -- fitting ---------------------------------------------------------------
+    def take_snapshot(self):
+        self.target_params = jax.tree_util.tree_map(jnp.copy, self.params)
+
+    def fit(self) -> float:
+        batch = self.replay.sample(self.nprng, self.cfg.batch_size)
+        g = index_graphs(self.train_pool.stacked, jnp.asarray(batch.graph_ids))
+        self.params, self.opt_state, loss, mse, recon = train_step(
+            self.params,
+            self.target_params,
+            self.opt_state,
+            g,
+            jnp.asarray(batch.covered_st),
+            jnp.asarray(batch.sever_st),
+            jnp.asarray(batch.actions),
+            jnp.asarray(batch.rewards),
+            jnp.asarray(batch.covered_sp),
+            jnp.asarray(batch.sever_sp),
+            jnp.asarray(batch.terminal),
+            variant=self.cfg.variant,
+            gamma=self.cfg.gamma,
+            alpha_recon=self.cfg.alpha_recon,
+            use_double_dqn=self.cfg.use_double_dqn,
+            use_huber=self.cfg.use_huber,
+            max_bp_iter=self.cfg.max_bp_iter,
+            optimizer=self.optimizer,
+        )
+        return float(loss)
+
+    # -- evaluation ------------------------------------------------------------
+    def validate(self) -> float:
+        """Mean normalized dismantling cost over the validation pool: batched
+        greedy rollout (reference Test :738-755, score + remaining/(max_rank·N))."""
+        g = self.valid_pool.stacked
+        state = batched_reset(g)
+        n = len(self.valid_pool)
+        max_steps = self.cfg.pad_nodes
+        for _ in range(max_steps):
+            if bool(jnp.all(state.terminal)):
+                break
+            q = predict_q(self.params, g, state.covered, state.sever, self.cfg.variant)
+            actions = jnp.argmax(q, axis=1)
+            state, _ = batched_step(g, state, actions, self.degree_cost)
+        covered_cnt = jnp.sum(state.covered & g.node_mask, axis=1)
+        remain = g.n_nodes - covered_cnt
+        score = state.score + remain.astype(jnp.float32) / (
+            g.max_rank.astype(jnp.float32) * g.n_nodes.astype(jnp.float32)
+        )
+        return float(jnp.mean(score))
+
+    # -- persistence -----------------------------------------------------------
+    def save(self, path: str):
+        state = {
+            "params": jax.device_get(self.params),
+            "target_params": jax.device_get(self.target_params),
+            "opt_state": jax.device_get(self.opt_state),
+            "iteration": self.iteration,
+            "nprng": self.nprng.bit_generator.state,
+            "key": jax.device_get(self.key),
+            "config": dataclasses.asdict(self.cfg),
+        }
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load(self, path: str, weights_only: bool = False):
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        self.target_params = jax.tree_util.tree_map(
+            jnp.asarray, state["target_params"]
+        )
+        if not weights_only:
+            self.opt_state = jax.tree_util.tree_map(jnp.asarray, state["opt_state"])
+            self.iteration = state["iteration"]
+            self.nprng.bit_generator.state = state["nprng"]
+            self.key = jnp.asarray(state["key"])
+
+    def load_torch(self, path: str):
+        """Load a reference-format torch checkpoint."""
+        from mdcommunity_tpu.models.torch_convert import load_torch_checkpoint
+
+        self.params = load_torch_checkpoint(path)
+        self.take_snapshot()
+
+    # -- the training loop -------------------------------------------------------
+    def train(self, save_dir: str = "./models_tpu", resume: bool = False,
+              log=print) -> str:
+        cfg = self.cfg
+        os.makedirs(save_dir, exist_ok=True)
+        vc_file = os.path.join(save_dir, f"ModelVC_{cfg.num_min}_{cfg.num_max}.csv")
+
+        start_iter = 0
+        if resume and os.path.isfile(os.path.join(save_dir, "latest.ckpt")):
+            self.load(os.path.join(save_dir, "latest.ckpt"))
+            start_iter = self.iteration
+            log(f"resumed from iter {start_iter}")
+            vc_out = open(vc_file, "a")
+        else:
+            vc_out = open(vc_file, "w")
+
+        self.prepare_valid_data()
+        self.gen_new_graphs()
+        for _ in range(cfg.warmup_games):
+            self.play_games(cfg.warmup_traj, 1.0)
+        self.take_snapshot()
+
+        best = float("inf")
+        t_window = time.perf_counter()
+        try:
+            for it in range(start_iter, cfg.max_iteration):
+                self.iteration = it
+                if it and it % cfg.save_frequency == 0:
+                    self.gen_new_graphs()
+                eps = cfg.eps_end + max(
+                    0.0, (cfg.eps_start - cfg.eps_end) * (cfg.eps_step - it) / cfg.eps_step
+                )
+                if it % 10 == 0:
+                    self.play_games(10, eps)
+                if it % cfg.save_frequency == 0:
+                    t0 = time.time()
+                    frac = self.validate()
+                    if frac < best:
+                        best = frac
+                        self.save(os.path.join(save_dir, "best_model.ckpt"))
+                    vc_out.write(f"{frac:.16f}\n")
+                    vc_out.flush()
+                    log(
+                        f"iter {it}, eps {eps:.4f}, mean vc {frac:.6f} "
+                        f"(valid {time.time()-t0:.1f}s, window "
+                        f"{time.perf_counter()-t_window:.1f}s)"
+                    )
+                    t_window = time.perf_counter()
+                    self.save(os.path.join(save_dir, "latest.ckpt"))
+                    self.save(
+                        os.path.join(
+                            save_dir,
+                            f"nrange_{cfg.num_min}_{cfg.num_max}_iter_{it}.ckpt",
+                        )
+                    )
+                if it % cfg.update_time == 0:
+                    self.take_snapshot()
+                self.fit()
+        finally:
+            self.iteration = cfg.max_iteration
+            self.save(os.path.join(save_dir, "latest.ckpt"))
+            vc_out.close()
+        return save_dir
