@@ -1,0 +1,96 @@
+"""Dismantling rollouts and scoring (AUDC / normalized-LMCC curves).
+
+Reference call sites:
+  GetSolution :711-736  — greedy rollout taking `step` nodes per model call
+                          (argsort of Q, stepRatio batching) writing the
+                          MaxCCList curve
+  GetSol      :759-784  — same + cost fraction
+  Test        :738-755  — validation scoring: score + remaining/(max_rank·N)
+  mvc_env.stepWithoutReward :74-87 — score += rank/(max_rank·N) per removal;
+                          MaxCCList appends rank/max_rank, starts at [1]
+
+AUDC = Σ_t rank_t/(max_rank·N): the area under the normalized-LMCC curve.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdcommunity_tpu.env.env import batched_reset, batched_step
+from mdcommunity_tpu.graphs.duplex import DuplexGraph, stack_graphs
+from mdcommunity_tpu.rl.dqn import predict_q
+
+
+def dismantle_greedy(
+    params,
+    g: DuplexGraph,
+    step: int = 1,
+    variant: str = "unit_cost",
+    dense: Optional[bool] = None,
+    max_steps: Optional[int] = None,
+) -> Tuple[List[int], float, List[float]]:
+    """Greedy Q rollout on one (unbatched) graph.
+
+    Removes the top-`step` scoring nodes per model call (reference GetSolution's
+    batchSol = argsort(-pred)[:step]); re-checks terminality between removals.
+
+    Returns (solution node list, score = AUDC, MaxCCList curve starting at 1.0).
+    """
+    if dense is None:
+        dense = g.pad_n <= 2048
+    degree_cost = variant == "degree_cost"
+    gb = stack_graphs([g])
+    state = batched_reset(gb)
+    sol: List[int] = []
+    curve: List[float] = [1.0]
+    n = int(g.n_nodes)
+    max_steps = max_steps or n
+
+    while not bool(state.terminal[0]) and len(sol) < max_steps:
+        q = predict_q(params, gb, state.covered, state.sever, variant, dense=dense)
+        q_np = np.asarray(q[0])
+        order = np.argsort(-q_np)[:step]
+        for a in order:
+            if bool(state.terminal[0]):
+                break
+            if not np.isfinite(q_np[a]):
+                break
+            state, _ = batched_step(gb, state, jnp.asarray([a]), degree_cost)
+            sol.append(int(a))
+            curve.append(float(state.rank[0]) / float(g.max_rank))
+    return sol, float(state.score[0]), curve
+
+
+def dismantle_batch_greedy(
+    params,
+    gb: DuplexGraph,
+    variant: str = "unit_cost",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy rollout over a batch of graphs at once; returns (scores, covered
+    counts).  Used for fast synthetic sweeps."""
+    degree_cost = variant == "degree_cost"
+    state = batched_reset(gb)
+    max_steps = gb.pad_n
+    for _ in range(max_steps):
+        if bool(jnp.all(state.terminal)):
+            break
+        q = predict_q(params, gb, state.covered, state.sever, variant)
+        actions = jnp.argmax(q, axis=1)
+        state, _ = batched_step(gb, state, actions, degree_cost)
+    covered_cnt = np.asarray(jnp.sum(state.covered & gb.node_mask, axis=1))
+    return np.asarray(state.score), covered_cnt
+
+
+def audc_from_curve(curve: List[float], n: int) -> float:
+    """AUDC from a rank/max_rank curve (excluding the leading 1.0 entry)."""
+    return float(np.sum(curve[1:]) / n)
+
+
+def validation_score(score: float, n: int, covered: int, max_rank: int) -> float:
+    """Reference Test() metric: rollout score + untouched-node tail."""
+    return score + (n - covered) / (max_rank * n)

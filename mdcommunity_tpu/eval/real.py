@@ -1,0 +1,73 @@
+"""Real multiplex network evaluation (reference: EvaluateRealData :645-709 and
+testReal.py).  Loads a `.edges` multiplex, picks the coupled layer pair, runs the
+greedy dismantling rollout with stepRatio batching, and writes the reference's
+result-file formats."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+from mdcommunity_tpu.eval.metrics import dismantle_greedy
+from mdcommunity_tpu.eval.writers import (
+    append_time_audc,
+    write_lmcc_curve,
+    write_solution,
+)
+from mdcommunity_tpu.graphs.io import REAL_DATASETS, load_real_duplex
+
+
+def evaluate_real(
+    params,
+    data_path: str,
+    dataset: str,
+    save_dir: str,
+    step_ratio: float = 0.0,
+    variant: str = "unit_cost",
+    layers: Optional[Tuple[int, int]] = None,
+    n_nodes: Optional[int] = None,
+) -> Tuple[list, float, float]:
+    """Dismantle one real dataset; returns (solution, solve_time, score).
+
+    Output files (in <save_dir>/StepRatio_<r>/) mirror the reference:
+      Soluion_<name>_<la><lb>.txt, NormalizedLMCC_<name>_<la><lb>.txt
+    """
+    if dataset in REAL_DATASETS:
+        fname, n_default, pair_default = REAL_DATASETS[dataset]
+    else:
+        fname, n_default, pair_default = dataset, None, None
+    n_nodes = n_nodes or n_default
+    layers = layers or pair_default
+    if n_nodes is None or layers is None:
+        raise ValueError(f"unknown dataset {dataset}: pass n_nodes and layers")
+
+    path = os.path.join(data_path, fname)
+    g = load_real_duplex(path, n_nodes, layers, degree_cost=(variant == "degree_cost"))
+
+    step = max(int(step_ratio * n_nodes), 1) if step_ratio > 0 else 1
+
+    t0 = time.time()
+    sol, score, curve = dismantle_greedy(params, g, step=step, variant=variant)
+    solve_time = time.time() - t0
+
+    sub = os.path.join(save_dir, f"StepRatio_{step_ratio:.4f}")
+    base = dataset.split(".")[0]
+    tag = f"{base}_{layers[0]}{layers[1]}"
+    write_solution(os.path.join(sub, f"Soluion_{tag}.txt"), sol)
+    # curve[0] is the leading 1.0; per-removal entries follow (reference writes
+    # MaxCCList whose first entry is 1, :686, then pads with 1/max_rank)
+    write_lmcc_curve(
+        os.path.join(sub, f"NormalizedLMCC_{tag}.txt"),
+        curve,
+        n_nodes,
+        int(g.max_rank),
+        score_mean=score,
+        score_std=0.0,
+    )
+    append_time_audc(
+        os.path.join(save_dir, "time&audc_real.csv"), dataset, solve_time, score
+    )
+    return sol, solve_time, score
