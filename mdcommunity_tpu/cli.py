@@ -1,0 +1,191 @@
+"""Command-line entry points (reference layer 6: train.py, testReal.py,
+testSynthetic.py, analysis_comparison.py, drawUnweight.py).
+
+Usage:
+  python -m mdcommunity_tpu.cli train --variant unit_cost [--smoke] [--resume]
+  python -m mdcommunity_tpu.cli test-real --model M --data DIR -o OUT [--datasets ...]
+  python -m mdcommunity_tpu.cli test-synthetic --model M [--sizes 32 64 ...]
+  python -m mdcommunity_tpu.cli baseline --method degree --combine max2 ...
+  python -m mdcommunity_tpu.cli analyze --unitcost DIR --community DIR -o OUT
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _setup_jax(cpu: bool = False):
+    import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_train(args):
+    _setup_jax(args.cpu)
+    from mdcommunity_tpu.rl.dqn import DQNAgent
+    from mdcommunity_tpu.utils.config import Config, smoke_requested
+
+    cfg = Config(variant=args.variant, seed=args.seed)
+    if args.smoke or smoke_requested():
+        cfg = cfg.smoke
+    save_dir = args.save_dir or f"./models_tpu/{args.variant}_GMM_{cfg.num_min}_{cfg.num_max}"
+    if args.smoke or smoke_requested():
+        save_dir += "_SMOKE"
+    agent = DQNAgent(cfg)
+    agent.train(save_dir=save_dir, resume=args.resume)
+
+
+def _load_params(model_path: str):
+    if model_path.endswith(".ckpt") and os.path.getsize(model_path) < 10_000_000:
+        # could be a reference torch checkpoint or one of ours; sniff pickle
+        try:
+            from mdcommunity_tpu.models.torch_convert import load_torch_checkpoint
+
+            return load_torch_checkpoint(model_path)
+        except Exception:
+            pass
+    import pickle
+
+    with open(model_path, "rb") as f:
+        state = pickle.load(f)
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: x, state["params"])
+
+
+def cmd_test_real(args):
+    _setup_jax(args.cpu)
+    from mdcommunity_tpu.eval.real import evaluate_real
+    from mdcommunity_tpu.graphs.io import REAL_DATASETS
+
+    params = _load_params(args.model)
+    names = args.datasets or list(REAL_DATASETS)
+    os.makedirs(args.output, exist_ok=True)
+    for name in names:
+        try:
+            sol, t, score = evaluate_real(
+                params, args.data, name, args.output,
+                step_ratio=args.step_ratio, variant=args.variant,
+            )
+            print(f"{name}: audc={score:.6f} time={t:.2f}s removed={len(sol)}")
+        except FileNotFoundError as e:
+            print(f"{name}: SKIP ({e})", file=sys.stderr)
+
+
+def cmd_test_synthetic(args):
+    _setup_jax(args.cpu)
+    from mdcommunity_tpu.eval.synthetic import (
+        evaluate_synthetic_generated,
+        write_result_rows,
+    )
+
+    params = _load_params(args.model)
+    rows = evaluate_synthetic_generated(
+        params, sizes=args.sizes, n_graphs=args.n_graphs, variant=args.variant,
+    )
+    out = args.output or f"./result_synthetic_{args.variant}.txt"
+    write_result_rows(out, rows, args.variant)
+    for r in rows:
+        print(json.dumps(r))
+
+
+def cmd_baseline(args):
+    _setup_jax(args.cpu)
+    import numpy as np
+
+    from mdcommunity_tpu.eval.baselines import heuristic_dismantle
+    from mdcommunity_tpu.eval.writers import append_time_audc
+    from mdcommunity_tpu.graphs.gmm import gmm_duplex_edges
+    from mdcommunity_tpu.graphs.io import duplex_from_layers
+    import time as _t
+
+    rng = np.random.default_rng(args.seed)
+    scores = []
+    for i in range(args.n_graphs):
+        e0, e1 = gmm_duplex_edges(args.size, rng)
+        g = duplex_from_layers(args.size, e0, e1)
+        if int(g.max_rank) <= 1:
+            continue
+        t0 = _t.time()
+        sol, score, _ = heuristic_dismantle(
+            g, args.method, args.combine, args.protect_frac
+        )
+        scores.append(score)
+        if args.output:
+            append_time_audc(args.output, f"syn_{args.size}_{i}", _t.time() - t0, score)
+    print(
+        json.dumps(
+            dict(
+                method=args.method, combine=args.combine, size=args.size,
+                score_mean=float(np.mean(scores)), score_std=float(np.std(scores)),
+                n=len(scores),
+            )
+        )
+    )
+
+
+def cmd_analyze(args):
+    from mdcommunity_tpu.eval.analysis import comparison_report
+
+    comparison_report(args.unitcost, args.community, args.output)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mdcommunity_tpu")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--variant", default="unit_cost",
+                   choices=["unit_cost", "degree_cost", "ce", "hca"])
+    t.add_argument("--smoke", action="store_true")
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--save-dir", default=None)
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(fn=cmd_train)
+
+    r = sub.add_parser("test-real")
+    r.add_argument("--model", required=True)
+    r.add_argument("--data", required=True, help="directory with .edges files")
+    r.add_argument("-o", "--output", required=True)
+    r.add_argument("--datasets", nargs="*", default=None)
+    r.add_argument("--step-ratio", type=float, default=0.0)
+    r.add_argument("--variant", default="unit_cost")
+    r.set_defaults(fn=cmd_test_real)
+
+    s = sub.add_parser("test-synthetic")
+    s.add_argument("--model", required=True)
+    s.add_argument("--sizes", type=int, nargs="*",
+                   default=[32, 64, 128, 256, 512, 1024])
+    s.add_argument("--n-graphs", type=int, default=20)
+    s.add_argument("--variant", default="unit_cost")
+    s.add_argument("-o", "--output", default=None)
+    s.set_defaults(fn=cmd_test_synthetic)
+
+    b = sub.add_parser("baseline")
+    b.add_argument("--method", default="degree",
+                   choices=["degree", "betweenness", "closeness", "ci", "pagerank"])
+    b.add_argument("--combine", default="max2", choices=["max2", "add"])
+    b.add_argument("--protect-frac", type=float, default=0.0)
+    b.add_argument("--size", type=int, default=64)
+    b.add_argument("--n-graphs", type=int, default=10)
+    b.add_argument("--seed", type=int, default=0)
+    b.add_argument("-o", "--output", default=None)
+    b.set_defaults(fn=cmd_baseline)
+
+    a = sub.add_parser("analyze")
+    a.add_argument("--unitcost", required=True)
+    a.add_argument("--community", required=True)
+    a.add_argument("-o", "--output", default="final_comparison_report.csv")
+    a.set_defaults(fn=cmd_analyze)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

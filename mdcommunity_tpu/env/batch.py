@@ -84,9 +84,9 @@ def _single_inputs(
         nd = jnp.where(active[None, :], nd, 0.0)
         feats = [nd, nd]
         if variant == "ce":
-            # third channel: static Louvain prior (CEMultiDismantler net w_n2l [3,64])
-            prior = jnp.where(active, g.node_feat, 0.0)
-            feats.append(jnp.broadcast_to(prior[None, :], nd.shape))
+            # third channel: static per-layer Louvain prior
+            # (CEMultiDismantler net w_n2l [3,64]; PrepareBatchGraph node_feat)
+            feats.append(jnp.where(active[None, :], g.node_feat, 0.0))
         node_input = jnp.stack(feats, axis=-1)  # [2, N, F]
 
     # --- aux features -------------------------------------------------------

@@ -95,11 +95,13 @@ def env_step(
     norm = rank_f / g.max_rank.astype(jnp.float32)
     reward = -norm * removal_cost(g, a, degree_cost)
     has_live = _live_layer_any(g, covered, res.sever)
+    # score accumulates -reward: rank/(max_rank·N) for unit cost, the
+    # cost-weighted norm for degree cost (degree_cost/mvc_env.py:79-80)
     new = EnvState(
         covered=covered,
         sever=res.sever,
         rank=res.rank,
-        score=state.score + norm / g.n_nodes.astype(jnp.float32),
+        score=state.score - reward,
         t=state.t + 1,
         terminal=~jnp.all(has_live),
     )
@@ -131,12 +133,29 @@ def valid_action_mask(g: DuplexGraph, state: EnvState) -> jnp.ndarray:
 
 
 def random_action(
-    g: DuplexGraph, state: EnvState, key: jax.Array
+    g: DuplexGraph, state: EnvState, key: jax.Array, boundary_first: bool = False
 ) -> jnp.ndarray:
-    """Uniform over valid actions (reference: mvc_env.randomAction :89-101)."""
+    """Uniform over valid actions (reference: mvc_env.randomAction :89-101).
+
+    boundary_first=True restricts to CE boundary candidates while any remain
+    (reference: CEMultiDismantler/mvc_env.getValidActions :85-100)."""
     mask = valid_action_mask(g, state)
+    if boundary_first:
+        cand = mask & g.boundary
+        mask = jnp.where(jnp.any(cand), cand, mask)
     logits = jnp.where(mask, 0.0, -jnp.inf)
     return jax.random.categorical(key, logits)
+
+
+def prune_q_to_boundary(q: jnp.ndarray, boundary: jnp.ndarray) -> jnp.ndarray:
+    """CE divide-and-conquer action pruning: while valid boundary candidates
+    remain, mask everything else to -inf (reference:
+    CEMultiDismantler/MultiDismantler_torch._apply_action_pruning :159-175).
+
+    q: [B, N] with invalid actions already -inf; boundary: bool[B, N]."""
+    cand = boundary & jnp.isfinite(q)
+    has = jnp.any(cand, axis=1, keepdims=True)
+    return jnp.where(has & ~cand, -jnp.inf, q)
 
 
 # ---- jitted singles and batched wrappers ------------------------------------
@@ -155,10 +174,14 @@ def batched_step(g: DuplexGraph, state: EnvState, actions, degree_cost: bool = F
     )
 
 
-@jax.jit
-def batched_random_actions(g: DuplexGraph, state: EnvState, key: jax.Array):
+@partial(jax.jit, static_argnames=("boundary_first",))
+def batched_random_actions(
+    g: DuplexGraph, state: EnvState, key: jax.Array, boundary_first: bool = False
+):
     keys = jax.random.split(key, state.covered.shape[0])
-    return jax.vmap(random_action)(g, state, keys)
+    return jax.vmap(lambda gg, ss, kk: random_action(gg, ss, kk, boundary_first))(
+        g, state, keys
+    )
 
 
 @jax.jit

@@ -38,9 +38,9 @@ class DuplexGraph:
       weights     : f32[2, N]    per-layer node removal-cost weights
                                  (unit variant: 1.0; degree variant: deg/maxdeg,
                                   reference: MultiDismantler_degree_cost/graph.py:39-51)
-      node_feat   : f32[N]       static per-node prior feature (CE variant Louvain
-                                 prior, reference: CEMultiDismantler/dataset.py:90-150;
-                                 zeros otherwise)
+      node_feat   : f32[2, N]    static per-layer node prior feature (CE variant
+                                 Louvain prior, reference:
+                                 CEMultiDismantler/dataset.py:90-150; zeros otherwise)
       boundary    : bool[N]      CE boundary-node flag (action pruning prior)
     """
 
@@ -131,10 +131,13 @@ def build_duplex(
         w[:, : weights.shape[1]] = weights
         weights = w
     if node_feat is None:
-        node_feat = np.zeros(pad_nodes, np.float32)
+        node_feat = np.zeros((2, pad_nodes), np.float32)
     else:
-        f = np.zeros(pad_nodes, np.float32)
-        f[: len(node_feat)] = node_feat
+        node_feat = np.asarray(node_feat, np.float32)
+        if node_feat.ndim == 1:
+            node_feat = np.stack([node_feat, node_feat])
+        f = np.zeros((2, pad_nodes), np.float32)
+        f[:, : node_feat.shape[1]] = node_feat
         node_feat = f
     if boundary is None:
         boundary = np.zeros(pad_nodes, bool)

@@ -147,12 +147,15 @@ def generate_training_graph(
     pad_nodes: int,
     pad_edges: int,
     degree_cost: bool = False,
+    prior_feature: str = "none",
 ):
     """One padded training DuplexGraph with size ~ U[num_min, num_max].
 
     Graphs whose intact LMCC is 1 are rejected (reference:
     MultiDismantler_torch.py:157-160).  Returns None on rejection so callers can
-    retry (keeps the acceptance loop on the host).
+    retry (keeps the acceptance loop on the host).  prior_feature != "none"
+    attaches the CE variant's Louvain prior + boundary set (reference:
+    CEMultiDismantler gen_graph -> _attach_static_comm_prior).
     """
     from mdcommunity_tpu.graphs.duplex import build_duplex
 
@@ -164,7 +167,15 @@ def generate_training_graph(
     weights = None
     if degree_cost:
         weights = _degree_weights(n, e0, e1)
-    g = build_duplex(n, e0, e1, pad_nodes, pad_edges, weights=weights)
+    node_feat = boundary = None
+    if prior_feature != "none":
+        from mdcommunity_tpu.graphs.community import duplex_prior
+
+        node_feat, boundary = duplex_prior(n, e0, e1, prior_feature)
+    g = build_duplex(
+        n, e0, e1, pad_nodes, pad_edges,
+        weights=weights, node_feat=node_feat, boundary=boundary,
+    )
     if int(g.max_rank) <= 1:
         return None
     return g
@@ -192,12 +203,15 @@ def generate_pool(
     pad_nodes: int,
     pad_edges: int,
     degree_cost: bool = False,
+    prior_feature: str = "none",
 ) -> List:
     out = []
     attempts = 0
     while len(out) < count and attempts < count * 20:
         attempts += 1
-        g = generate_training_graph(rng, num_min, num_max, pad_nodes, pad_edges, degree_cost)
+        g = generate_training_graph(
+            rng, num_min, num_max, pad_nodes, pad_edges, degree_cost, prior_feature
+        )
         if g is not None:
             out.append(g)
     return out

@@ -159,12 +159,17 @@ class DQNAgent:
     def degree_cost(self) -> bool:
         return self.cfg.variant == "degree_cost"
 
+    @property
+    def _prior_feature(self) -> str:
+        return self.cfg.comm_prior_feature if self.cfg.variant == "ce" else "none"
+
     def gen_new_graphs(self):
         """Refresh the training pool (reference gen_new_graphs :151-160)."""
         self.train_pool.clear()
         for g in generate_pool(
             self.nprng, self.cfg.n_train, self.cfg.num_min, self.cfg.num_max,
             self.cfg.pad_nodes, self.cfg.pad_edges, self.degree_cost,
+            self._prior_feature,
         ):
             self.train_pool.insert(g)
         # envs hold ids into the old pool; force re-reset
@@ -175,6 +180,7 @@ class DQNAgent:
         for g in generate_pool(
             self.nprng, self.cfg.n_valid, self.cfg.num_min, self.cfg.num_max,
             self.cfg.pad_nodes, self.cfg.pad_edges, self.degree_cost,
+            self._prior_feature,
         ):
             self.valid_pool.insert(g)
 
@@ -245,17 +251,24 @@ class DQNAgent:
                 # immediately-terminal fresh graphs are handled next loop
                 continue
 
+            ce_prune = self.cfg.variant == "ce" and self.cfg.action_pruning_train
             if self.nprng.uniform() >= eps:
                 q = predict_q(
                     self.params, self._env_graphs, self._env_state.covered,
                     self._env_state.sever, self.cfg.variant,
                 )
+                if ce_prune:
+                    from mdcommunity_tpu.env.env import prune_q_to_boundary
+
+                    q = prune_q_to_boundary(q, self._env_graphs.boundary)
                 actions = jnp.argmax(q, axis=1)
             else:
                 from mdcommunity_tpu.env.env import batched_random_actions
 
                 self.key, k = jax.random.split(self.key)
-                actions = batched_random_actions(self._env_graphs, self._env_state, k)
+                actions = batched_random_actions(
+                    self._env_graphs, self._env_state, k, boundary_first=ce_prune
+                )
 
             new_state, rewards = batched_step(
                 self._env_graphs, self._env_state, actions, self.degree_cost
@@ -309,10 +322,15 @@ class DQNAgent:
         state = batched_reset(g)
         n = len(self.valid_pool)
         max_steps = self.cfg.pad_nodes
+        ce_prune = self.cfg.variant == "ce" and self.cfg.action_pruning_test
         for _ in range(max_steps):
             if bool(jnp.all(state.terminal)):
                 break
             q = predict_q(self.params, g, state.covered, state.sever, self.cfg.variant)
+            if ce_prune:
+                from mdcommunity_tpu.env.env import prune_q_to_boundary
+
+                q = prune_q_to_boundary(q, g.boundary)
             actions = jnp.argmax(q, axis=1)
             state, _ = batched_step(g, state, actions, self.degree_cost)
         covered_cnt = jnp.sum(state.covered & g.node_mask, axis=1)
