@@ -147,6 +147,29 @@ def random_action(
     return jax.random.categorical(key, logits)
 
 
+def hca_bridge_bonus(g: DuplexGraph, state: EnvState, a: jnp.ndarray,
+                     tau: float = 0.5) -> jnp.ndarray:
+    """HCA bridge-reward shaping term, computed from the PRE-step state:
+    broken inter-community live edges at `a` / live degree of `a`, gated on
+    f_het(a) > tau (reference: HCA-Dismantler/mvc_env.getReward :258-300).
+
+    Note: the reference inspects neighbors AFTER getMaxConnectedNodesNum has
+    already removed `a` from its incremental graphs, so its bonus always
+    evaluates to 0; we implement the evident intent (pre-removal neighborhood)
+    behind Config.hca_bridge_effective."""
+    ep = ~state.covered[g.src] & ~state.covered[g.dst]
+    live = g.edge_mask & ~state.sever & ep              # [2, E]
+    at_a = live & (g.src == a)                          # directed edges out of a
+    deg_cost = jnp.sum(at_a)
+    inter = at_a & (
+        jnp.take_along_axis(g.comm_id, g.src, axis=1)
+        != jnp.take_along_axis(g.comm_id, g.dst, axis=1)
+    )
+    broken = jnp.sum(inter)
+    bonus = broken.astype(jnp.float32) / (deg_cost.astype(jnp.float32) + 1e-6)
+    return jnp.where(g.hca_feat[a, 0] > tau, bonus, 0.0)
+
+
 def prune_q_to_boundary(q: jnp.ndarray, boundary: jnp.ndarray) -> jnp.ndarray:
     """CE divide-and-conquer action pruning: while valid boundary candidates
     remain, mask everything else to -inf (reference:

@@ -42,6 +42,9 @@ class DuplexGraph:
                                  Louvain prior, reference:
                                  CEMultiDismantler/dataset.py:90-150; zeros otherwise)
       boundary    : bool[N]      CE boundary-node flag (action pruning prior)
+      comm_id     : int32[2, N]  HCA per-layer community index (0 for non-HCA)
+      n_comms     : int32[2]     HCA community counts per layer
+      hca_feat    : f32[N, 3]    HCA node features [f_het, f_impact, f_roi]
     """
 
     src: jnp.ndarray
@@ -54,6 +57,9 @@ class DuplexGraph:
     weights: jnp.ndarray
     node_feat: jnp.ndarray
     boundary: jnp.ndarray
+    comm_id: jnp.ndarray
+    n_comms: jnp.ndarray
+    hca_feat: jnp.ndarray
 
     @property
     def pad_n(self) -> int:
@@ -101,6 +107,9 @@ def build_duplex(
     node_feat: np.ndarray | None = None,
     boundary: np.ndarray | None = None,
     max_rank: int | None = None,
+    comm_id: np.ndarray | None = None,
+    n_comms: np.ndarray | None = None,
+    hca_feat: np.ndarray | None = None,
 ) -> DuplexGraph:
     """Build a padded DuplexGraph from undirected edge lists (host side).
 
@@ -145,6 +154,20 @@ def build_duplex(
         b = np.zeros(pad_nodes, bool)
         b[: len(boundary)] = boundary
         boundary = b
+    if comm_id is None:
+        comm_id = np.zeros((2, pad_nodes), np.int32)
+    else:
+        c = np.zeros((2, pad_nodes), np.int32)
+        c[:, : comm_id.shape[1]] = comm_id
+        comm_id = c
+    if n_comms is None:
+        n_comms = np.zeros(2, np.int32)
+    if hca_feat is None:
+        hca_feat = np.zeros((pad_nodes, 3), np.float32)
+    else:
+        f3 = np.zeros((pad_nodes, 3), np.float32)
+        f3[: hca_feat.shape[0]] = hca_feat
+        hca_feat = f3
 
     g = DuplexGraph(
         src=jnp.asarray(np.stack([s0, s1])),
@@ -157,6 +180,9 @@ def build_duplex(
         weights=jnp.asarray(weights),
         node_feat=jnp.asarray(node_feat),
         boundary=jnp.asarray(boundary),
+        comm_id=jnp.asarray(comm_id),
+        n_comms=jnp.asarray(n_comms, jnp.int32),
+        hca_feat=jnp.asarray(hca_feat),
     )
     if max_rank is None:
         from mdcommunity_tpu.env.cascade import intact_max_rank

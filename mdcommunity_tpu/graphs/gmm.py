@@ -168,13 +168,19 @@ def generate_training_graph(
     if degree_cost:
         weights = _degree_weights(n, e0, e1)
     node_feat = boundary = None
-    if prior_feature != "none":
+    comm_id = n_comms = hca_feat = None
+    if prior_feature == "hca":
+        from mdcommunity_tpu.graphs.hca import hca_communities_and_features
+
+        comm_id, n_comms, hca_feat = hca_communities_and_features(n, e0, e1)
+    elif prior_feature != "none":
         from mdcommunity_tpu.graphs.community import duplex_prior
 
         node_feat, boundary = duplex_prior(n, e0, e1, prior_feature)
     g = build_duplex(
         n, e0, e1, pad_nodes, pad_edges,
         weights=weights, node_feat=node_feat, boundary=boundary,
+        comm_id=comm_id, n_comms=n_comms, hca_feat=hca_feat,
     )
     if int(g.max_rank) <= 1:
         return None

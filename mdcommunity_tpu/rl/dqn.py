@@ -57,6 +57,12 @@ from mdcommunity_tpu.utils.config import Config
 def predict_q(params, g: DuplexGraph, covered, sever, variant="unit_cost",
               dense=True, max_bp_iter=3):
     """Batched Q(s, ·) with dead/covered nodes at -inf (reference Predict)."""
+    if variant == "hca":
+        from mdcommunity_tpu.models.hca import hca_forward, make_hca_inputs
+
+        inputs = make_hca_inputs(g, covered, sever, c_pad=g.pad_n)
+        q, _ = hca_forward(params, g, inputs, max_bp_iter=max_bp_iter)
+        return q
     inputs = make_batch_inputs(g, covered, sever, dense=dense, variant=variant)
     return test_forward(params, g, inputs, max_bp_iter=max_bp_iter)
 
@@ -87,6 +93,46 @@ def train_step(
     optimizer=None,
 ):
     """One SGD step (reference Fit -> fit -> calc_loss, :315-431)."""
+    if variant == "hca":
+        from mdcommunity_tpu.models.hca import (
+            hca_forward,
+            hca_laplacian,
+            make_hca_inputs,
+        )
+
+        inputs_sp = make_hca_inputs(g, covered_sp, sever_sp, c_pad=g.pad_n)
+        inputs_st = make_hca_inputs(g, covered_st, sever_st, c_pad=g.pad_n)
+
+        def q_all_fn(p, inputs):
+            return hca_forward(p, g, inputs, max_bp_iter=max_bp_iter)
+
+        bidx = jnp.arange(actions.shape[0])
+
+        q_sp_t, _ = q_all_fn(target_params, inputs_sp)
+        if use_double_dqn:
+            q_sp_o, _ = q_all_fn(params, inputs_sp)
+            a_star = jnp.argmax(q_sp_o, axis=1)
+            max_q = jnp.take_along_axis(q_sp_t, a_star[:, None], axis=1)[:, 0]
+        else:
+            max_q = jnp.max(q_sp_t, axis=1)
+        max_q = jnp.where(terminal, 0.0, max_q)
+        target = jax.lax.stop_gradient(rewards + gamma * max_q)
+
+        def loss_fn(p):
+            q_all, h_f = q_all_fn(p, inputs_st)
+            q = q_all[bidx, actions]
+            if use_huber:
+                mse = jnp.mean(optax.huber_loss(q, target, delta=1.0))
+            else:
+                mse = jnp.mean((target - q) ** 2)
+            recon = hca_laplacian(h_f, g, inputs_st)
+            return mse + alpha_recon * recon, (mse, recon)
+
+        (loss, (mse, recon)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, mse, recon
+
     inputs_sp = make_batch_inputs(g, covered_sp, sever_sp, dense=True, variant=variant)
     q_sp_t = test_forward(target_params, g, inputs_sp, max_bp_iter=max_bp_iter)
     if use_double_dqn:
@@ -117,6 +163,15 @@ def train_step(
     return params, opt_state, loss, mse, recon
 
 
+@partial(jax.jit, static_argnames=("tau",))
+def _batched_bridge_bonus(g, state, actions, tau=0.5):
+    from mdcommunity_tpu.env.env import hca_bridge_bonus
+
+    return jax.vmap(lambda gg, ss, aa: hca_bridge_bonus(gg, ss, aa, tau))(
+        g, state, actions
+    )
+
+
 # ---------------------------------------------------------------------------
 # the agent
 # ---------------------------------------------------------------------------
@@ -128,15 +183,27 @@ class DQNAgent:
         self.nprng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(key)
-        self.params = init_params(
-            init_key,
-            embedding_size=cfg.embedding_size,
-            reg_hidden=cfg.reg_hidden,
-            aux_dim=cfg.aux_dim,
-            node_feat_dim=cfg.node_feat_dim,
-            gate_hidden=cfg.gate_hidden,
-            w_init_std=cfg.w_init_std,
-        )
+        if cfg.variant == "hca":
+            from mdcommunity_tpu.models.hca import init_hca_params
+
+            self.params = init_hca_params(
+                init_key,
+                embedding_size=cfg.embedding_size,
+                reg_hidden=cfg.reg_hidden,
+                aux_dim=cfg.aux_dim,
+                gate_hidden=cfg.gate_hidden,
+                w_init_std=cfg.w_init_std,
+            )
+        else:
+            self.params = init_params(
+                init_key,
+                embedding_size=cfg.embedding_size,
+                reg_hidden=cfg.reg_hidden,
+                aux_dim=cfg.aux_dim,
+                node_feat_dim=cfg.node_feat_dim,
+                gate_hidden=cfg.gate_hidden,
+                w_init_std=cfg.w_init_std,
+            )
         self.target_params = jax.tree_util.tree_map(jnp.copy, self.params)
         self.optimizer = optax.adam(cfg.learning_rate)
         self.opt_state = self.optimizer.init(self.params)
@@ -161,7 +228,11 @@ class DQNAgent:
 
     @property
     def _prior_feature(self) -> str:
-        return self.cfg.comm_prior_feature if self.cfg.variant == "ce" else "none"
+        if self.cfg.variant == "ce":
+            return self.cfg.comm_prior_feature
+        if self.cfg.variant == "hca":
+            return "hca"
+        return "none"
 
     def gen_new_graphs(self):
         """Refresh the training pool (reference gen_new_graphs :151-160)."""
@@ -270,9 +341,17 @@ class DQNAgent:
                     self._env_graphs, self._env_state, k, boundary_first=ce_prune
                 )
 
+            if self.cfg.variant == "hca" and self.cfg.hca_bridge_effective:
+                bonus = _batched_bridge_bonus(
+                    self._env_graphs, self._env_state, actions, self.cfg.hca_tau
+                )
+            else:
+                bonus = None
             new_state, rewards = batched_step(
                 self._env_graphs, self._env_state, actions, self.degree_cost
             )
+            if bonus is not None:
+                rewards = rewards + self.cfg.hca_beta * bonus
             acts_np = np.asarray(actions)
             rew_np = np.asarray(rewards)
             cov_np = np.asarray(new_state.covered)

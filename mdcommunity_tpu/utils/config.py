@@ -72,6 +72,10 @@ class Config:
     action_pruning_test: bool = False      # CE ACTION_PRUNING_TEST
     hca_beta: float = 0.5                  # HCA bridge-reward weight (mvc_env.py:36)
     hca_tau: float = 0.5                   # HCA f_het gate (mvc_env.py:37)
+    hca_top_frac: float = 0.3              # HCA decoder top-community fraction
+    hca_bridge_effective: bool = True      # intent semantics; False reproduces the
+                                           # reference's always-zero bonus (see
+                                           # env.hca_bridge_bonus)
 
     # ---- numerics / hardware ------------------------------------------------
     dtype: str = "float32"            # model compute dtype ("bfloat16" for speed)
@@ -83,7 +87,7 @@ class Config:
     gp_axis: str = "gp"               # graph (edge-partition) axis
 
     def __post_init__(self):
-        if self.variant == "ce":
+        if self.variant in ("ce", "hca"):
             object.__setattr__(self, "node_feat_dim", 3)
 
     @property

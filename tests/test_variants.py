@@ -23,12 +23,53 @@ def _cfg(variant):
     )
 
 
-@pytest.mark.parametrize("variant", ["degree_cost", "ce"])
+@pytest.mark.parametrize("variant", ["degree_cost", "ce", "hca"])
 def test_variant_smoke_train(tmp_path, variant):
     agent = DQNAgent(_cfg(variant), seed=1)
     agent.train(save_dir=str(tmp_path / variant), log=lambda *a: None)
     # ran one validation and saved checkpoints
     assert (tmp_path / variant / "best_model.ckpt").exists()
+
+
+def test_hca_features_and_forward(rng):
+    import jax
+    import networkx as nx
+
+    from mdcommunity_tpu.graphs.hca import hca_communities_and_features
+    from mdcommunity_tpu.graphs.duplex import build_duplex, stack_graphs
+    from mdcommunity_tpu.env.env import env_reset_jit, hca_bridge_bonus
+    from mdcommunity_tpu.models.hca import init_hca_params, make_hca_inputs, hca_forward
+
+    n = 20
+    g1 = nx.gnp_random_graph(n, 0.2, seed=7)
+    g2 = nx.gnp_random_graph(n, 0.2, seed=8)
+    comm_id, n_comms, feat = hca_communities_and_features(
+        n, list(g1.edges()), list(g2.edges())
+    )
+    assert (feat[:, 0] >= 0).all() and (feat[:, 0] <= 1).all()  # f_het in [0,1]
+    assert (n_comms >= 1).all()
+    g = build_duplex(
+        n, list(g1.edges()), list(g2.edges()), 24, 256,
+        comm_id=comm_id, n_comms=n_comms, hca_feat=feat,
+    )
+    if int(g.max_rank) <= 1:
+        pytest.skip("degenerate")
+    state = env_reset_jit(g)
+    gb = stack_graphs([g])
+    inputs = make_hca_inputs(gb, state.covered[None], state.sever[None], c_pad=24)
+    params = init_hca_params(jax.random.PRNGKey(0))
+    q, h_f = hca_forward(params, gb, inputs)
+    qn = np.asarray(q[0])
+    active = np.asarray(inputs.active[0])
+    # all uncovered real nodes have finite q (possibly -1e9); dead are -inf
+    assert np.isfinite(qn[active]).all()
+    assert not np.isfinite(qn[~active]).any()
+    # top-community masking: at least one node scores above the -1e9 floor
+    assert (qn[active] > -1e8).any()
+    # bridge bonus is nonnegative and finite
+    a = int(np.nonzero(active)[0][0])
+    bb = float(hca_bridge_bonus(g, state, jnp.int32(a)))
+    assert 0.0 <= bb <= 1.0 + 1e-6
 
 
 def test_ce_param_count():
