@@ -42,12 +42,9 @@ def segment_spmm(src, dst, weight, h, pad_n: int) -> jnp.ndarray:
     return jnp.zeros((pad_n, h.shape[-1]), h.dtype).at[dst].add(msg)
 
 
-def spmm_coo(src, dst, weight, h, pad_n: int, use_pallas: bool = False) -> jnp.ndarray:
-    """Dispatching SpMM entry point; `use_pallas` selects the Pallas TPU kernel."""
-    if use_pallas:
-        from mdcommunity_tpu.ops.pallas_spmm import pallas_spmm
-
-        return pallas_spmm(src, dst, weight, h, pad_n)
+def spmm_coo(src, dst, weight, h, pad_n: int) -> jnp.ndarray:
+    """COO SpMM entry point (segment path).  For the high-throughput blocked
+    Pallas kernel use ops.pallas_spmm.spmm with a BlockCOO layout."""
     return segment_spmm(src, dst, weight, h, pad_n)
 
 

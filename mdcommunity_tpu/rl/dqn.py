@@ -84,6 +84,7 @@ def train_step(
     covered_sp,
     sever_sp,
     terminal,
+    is_weights=None,
     variant="unit_cost",
     gamma=1.0,
     alpha_recon=1e-3,
@@ -118,20 +119,22 @@ def train_step(
         max_q = jnp.where(terminal, 0.0, max_q)
         target = jax.lax.stop_gradient(rewards + gamma * max_q)
 
+        iw = jnp.ones_like(target) if is_weights is None else is_weights
+
         def loss_fn(p):
             q_all, h_f = q_all_fn(p, inputs_st)
             q = q_all[bidx, actions]
             if use_huber:
-                mse = jnp.mean(optax.huber_loss(q, target, delta=1.0))
+                mse = jnp.mean(iw * optax.huber_loss(q, target, delta=1.0))
             else:
-                mse = jnp.mean((target - q) ** 2)
+                mse = jnp.mean(iw * (target - q) ** 2)
             recon = hca_laplacian(h_f, g, inputs_st)
-            return mse + alpha_recon * recon, (mse, recon)
+            return mse + alpha_recon * recon, (mse, recon, target - q)
 
-        (loss, (mse, recon)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (mse, recon, td)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, mse, recon
+        return params, opt_state, loss, mse, recon, td
 
     inputs_sp = make_batch_inputs(g, covered_sp, sever_sp, dense=True, variant=variant)
     q_sp_t = test_forward(target_params, g, inputs_sp, max_bp_iter=max_bp_iter)
@@ -147,20 +150,21 @@ def train_step(
 
     inputs_st = make_batch_inputs(g, covered_st, sever_st, dense=True, variant=variant)
 
+    iw = jnp.ones_like(target) if is_weights is None else is_weights
+
     def loss_fn(p):
         q, h_f = train_forward(p, g, inputs_st, actions, max_bp_iter=max_bp_iter)
         if use_huber:
-            td = optax.huber_loss(q, target, delta=1.0)
-            mse = jnp.mean(td)
+            mse = jnp.mean(iw * optax.huber_loss(q, target, delta=1.0))
         else:
-            mse = jnp.mean((target - q) ** 2)
+            mse = jnp.mean(iw * (target - q) ** 2)
         recon = laplacian_regularizer(h_f, g, inputs_st)
-        return mse + alpha_recon * recon, (mse, recon)
+        return mse + alpha_recon * recon, (mse, recon, target - q)
 
-    (loss, (mse, recon)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, (mse, recon, td)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
-    return params, opt_state, loss, mse, recon
+    return params, opt_state, loss, mse, recon, td
 
 
 @partial(jax.jit, static_argnames=("tau",))
@@ -208,11 +212,18 @@ class DQNAgent:
         self.optimizer = optax.adam(cfg.learning_rate)
         self.opt_state = self.optimizer.init(self.params)
 
-        from mdcommunity_tpu.rl.replay import NStepReplay
+        if cfg.use_prioritized:
+            from mdcommunity_tpu.rl.replay_prioritized import PrioritizedNStepReplay
 
-        self.replay = NStepReplay(
-            cfg.memory_size, cfg.pad_nodes, cfg.pad_edges, cfg.n_step
-        )
+            self.replay = PrioritizedNStepReplay(
+                cfg.memory_size, cfg.pad_nodes, cfg.pad_edges, cfg.n_step
+            )
+        else:
+            from mdcommunity_tpu.rl.replay import NStepReplay
+
+            self.replay = NStepReplay(
+                cfg.memory_size, cfg.pad_nodes, cfg.pad_edges, cfg.n_step
+            )
         self.train_pool = GraphPool()
         self.valid_pool = GraphPool()
         self.iteration = 0
@@ -369,9 +380,14 @@ class DQNAgent:
         self.target_params = jax.tree_util.tree_map(jnp.copy, self.params)
 
     def fit(self) -> float:
-        batch = self.replay.sample(self.nprng, self.cfg.batch_size)
+        if self.cfg.use_prioritized:
+            pb = self.replay.sample_prioritized(self.nprng, self.cfg.batch_size)
+            batch, tree_idx, iw = pb.batch, pb.tree_idx, jnp.asarray(pb.is_weights)
+        else:
+            batch = self.replay.sample(self.nprng, self.cfg.batch_size)
+            tree_idx, iw = None, None
         g = index_graphs(self.train_pool.stacked, jnp.asarray(batch.graph_ids))
-        self.params, self.opt_state, loss, mse, recon = train_step(
+        self.params, self.opt_state, loss, mse, recon, td = train_step(
             self.params,
             self.target_params,
             self.opt_state,
@@ -383,6 +399,7 @@ class DQNAgent:
             jnp.asarray(batch.covered_sp),
             jnp.asarray(batch.sever_sp),
             jnp.asarray(batch.terminal),
+            is_weights=iw,
             variant=self.cfg.variant,
             gamma=self.cfg.gamma,
             alpha_recon=self.cfg.alpha_recon,
@@ -391,6 +408,8 @@ class DQNAgent:
             max_bp_iter=self.cfg.max_bp_iter,
             optimizer=self.optimizer,
         )
+        if tree_idx is not None:
+            self.replay.update_priorities(tree_idx, np.asarray(td))
         return float(loss)
 
     # -- evaluation ------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""Prioritized n-step replay (proportional, sum-tree) — reference:
+nstep_replay_mem_prioritized.py (SumTree :47-121, Memory :162-259).
+
+Like the reference (IsPrioritizedSampling=False, and its prioritized fit path
+is a stubbed TF relic :346-378), this is OFF by default; unlike the reference,
+the sampling path here is actually functional: sample() returns importance
+weights and tree indices, and update_priorities() applies clipped-TD-error
+priorities, so a trainer can enable it end to end.
+
+Vectorized sum-tree over numpy (no Python node objects): the tree is one array
+of size 2*capacity-1; updates and sampling are O(log n) walks done with index
+arithmetic on batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from mdcommunity_tpu.rl.replay import NStepReplay, ReplayBatch
+
+
+@dataclasses.dataclass
+class PrioritizedBatch:
+    batch: ReplayBatch
+    tree_idx: np.ndarray     # int64[B]
+    is_weights: np.ndarray   # f32[B]
+
+
+class SumTree:
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.tree = np.zeros(2 * capacity - 1, np.float64)
+
+    def update(self, data_idx: np.ndarray, priority: np.ndarray):
+        idx = np.asarray(data_idx) + self.capacity - 1
+        self.tree[idx] = priority
+        idx = np.unique((idx - 1) // 2)
+        while True:
+            # recompute parents bottom-up from children (batch-safe)
+            left = 2 * idx + 1
+            right = left + 1
+            self.tree[idx] = self.tree[left] + self.tree[right]
+            if (idx == 0).all():
+                break
+            idx = np.unique((idx - 1) // 2)
+
+    def total(self) -> float:
+        return float(self.tree[0])
+
+    def sample(self, values: np.ndarray) -> np.ndarray:
+        """Batch descend: for each v in values find the leaf covering it."""
+        idx = np.zeros(len(values), np.int64)
+        v = values.astype(np.float64).copy()
+        for _ in range(int(np.ceil(np.log2(self.capacity))) + 2):
+            left = 2 * idx + 1
+            is_leaf = left >= len(self.tree)
+            lv = np.where(is_leaf, 0.0, self.tree[np.minimum(left, len(self.tree) - 1)])
+            go_right = (~is_leaf) & (v > lv)
+            v = np.where(go_right, v - lv, v)
+            idx = np.where(is_leaf, idx, np.where(go_right, left + 1, left))
+        return idx - (self.capacity - 1)
+
+
+class PrioritizedNStepReplay(NStepReplay):
+    """NStepReplay + proportional priorities (hyperparameters mirror the
+    reference trainer constants, MultiDismantler_torch.py:42-46)."""
+
+    def __init__(self, capacity, pad_nodes, pad_edges, n_step=5,
+                 epsilon=1e-7, alpha=0.6, beta=0.4,
+                 beta_increment=1e-3, td_upper=1.0):
+        super().__init__(capacity, pad_nodes, pad_edges, n_step)
+        self.tree = SumTree(capacity)
+        self.epsilon = epsilon
+        self.alpha = alpha
+        self.beta = beta
+        self.beta_increment = beta_increment
+        self.td_upper = td_upper
+        self._max_priority = 1.0
+
+    def _add(self, *args, **kwargs):
+        idx = self.current
+        super()._add(*args, **kwargs)
+        self.tree.update(np.asarray([idx]), np.asarray([self._max_priority]))
+
+    def sample_prioritized(self, rng: np.random.Generator, batch_size: int) -> PrioritizedBatch:
+        assert self.count >= batch_size
+        total = self.tree.total()
+        seg = total / batch_size
+        values = (np.arange(batch_size) + rng.random(batch_size)) * seg
+        data_idx = np.clip(self.tree.sample(values), 0, self.count - 1)
+        self.beta = min(1.0, self.beta + self.beta_increment)
+        leaf = self.tree.tree[data_idx + self.capacity - 1]
+        prob = np.maximum(leaf / max(total, 1e-12), 1e-12)
+        weights = np.power(self.count * prob, -self.beta)
+        weights = (weights / weights.max()).astype(np.float32)
+        idx = data_idx
+        batch = ReplayBatch(
+            graph_ids=self.graph_ids[idx],
+            covered_st=self._unpack_n(self.covered_st[idx]),
+            sever_st=self._unpack_e(self.sever_st[idx]),
+            actions=self.actions[idx],
+            rewards=self.rewards[idx],
+            covered_sp=self._unpack_n(self.covered_sp[idx]),
+            sever_sp=self._unpack_e(self.sever_sp[idx]),
+            terminal=self.terminal[idx],
+        )
+        return PrioritizedBatch(batch=batch, tree_idx=idx, is_weights=weights)
+
+    def update_priorities(self, data_idx: np.ndarray, td_errors: np.ndarray):
+        p = np.minimum(np.abs(td_errors) + self.epsilon, self.td_upper)
+        p = np.power(p, self.alpha)
+        self._max_priority = max(self._max_priority, float(p.max(initial=0.0)))
+        self.tree.update(np.asarray(data_idx), p)

@@ -51,6 +51,8 @@ class Config:
     eps_step: float = 10_000.0
     use_double_dqn: bool = False      # IsDoubleDQN
     use_huber: bool = False           # IsHuberloss
+    use_prioritized: bool = False     # IsPrioritizedSampling (functional here,
+                                      # unlike the reference's stubbed fit path)
     warmup_games: int = 10
     warmup_traj: int = 100
 
