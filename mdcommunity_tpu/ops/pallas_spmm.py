@@ -87,91 +87,67 @@ def build_block_coo(
     pair-slot order ([P*T] each).  Callers keep ALL per-edge state (live masks,
     weights) in this order; w passed to the kernels is reshape(P, T).
     """
-    assert n % S == 0 or True
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
-    bi = dst // S
-    bj = src // S
-    key = bi * ((n + S - 1) // S) + bj
+    n_blocks = (n + S - 1) // S
+    key = (dst // S) * n_blocks + (src // S)
     order = np.argsort(key, kind="stable")
     src, dst, key = src[order], dst[order], key[order]
-    bi = dst // S
+    E = len(src)
 
-    n_blocks = (n + S - 1) // S
-    pairs = []          # (dst_block, src_block, slot arrays)
+    # fully vectorized chunking: position of each edge within its block pair,
+    # chunk-of-T it lands in, and that chunk's global pair index
+    uniq, first, counts = np.unique(key, return_index=True, return_counts=True)
+    inv = np.repeat(np.arange(len(uniq)), counts)          # edge -> unique-pair id
+    pos = np.arange(E) - first[inv]                        # rank within pair
+    chunks_per_pair = (counts + T - 1) // T
+    chunk_base = np.concatenate([[0], np.cumsum(chunks_per_pair)])
+    pair_id = chunk_base[inv] + pos // T                   # edge -> pair chunk
+    slot = (pos % T).astype(np.int64)
+    n_pairs = int(chunk_base[-1])
+    pad_pairs = (-n_pairs) % 8                             # SDDMM: 8 pairs/program
+    P = n_pairs + pad_pairs
+
+    pair_key = np.zeros(P, np.int64)
+    pair_key[:n_pairs] = np.repeat(uniq, chunks_per_pair)
+    pair_dstblk = pair_key // n_blocks
+    pair_srcblk = pair_key % n_blocks
+    pair_dstblk[n_pairs:] = 0
+    pair_srcblk[n_pairs:] = 0
+
+    lsrc = np.zeros((P, T), np.int32)
+    ldst = np.zeros((P, T), np.int32)
+    slot_src = np.zeros((P, T), np.int32)
+    slot_dst = np.zeros((P, T), np.int32)
+    slot_mask = np.zeros((P, T), bool)
+    lsrc[pair_id, slot] = (src - pair_srcblk[pair_id] * S).astype(np.int32)
+    ldst[pair_id, slot] = (dst - pair_dstblk[pair_id] * S).astype(np.int32)
+    slot_src[pair_id, slot] = src.astype(np.int32)
+    slot_dst[pair_id, slot] = dst.astype(np.int32)
+    slot_mask[pair_id, slot] = True
+
+    # pairs are grouped by dst block (key sort is dst-block-major); padded
+    # pairs sit past rowptr[-1] so no dst block iterates over them
     rowptr = np.zeros(n_blocks + 1, np.int64)
-    uniq, starts = np.unique(key, return_index=True)
-    starts = list(starts) + [len(src)]
-    pair_dstblk = []
-    pair_srcblk = []
-    lsrc_list = []
-    ldst_list = []
-    slot_src = []
-    slot_dst = []
-    slot_mask = []
-    for u_i, k in enumerate(uniq):
-        a, b = starts[u_i], starts[u_i + 1]
-        dblk = int(k) // n_blocks
-        sblk = int(k) % n_blocks
-        for c0 in range(a, b, T):
-            c1 = min(c0 + T, b)
-            m = c1 - c0
-            ls = np.zeros(T, np.int32)
-            ld = np.zeros(T, np.int32)
-            ls[:m] = (src[c0:c1] - sblk * S).astype(np.int32)
-            ld[:m] = (dst[c0:c1] - dblk * S).astype(np.int32)
-            pair_dstblk.append(dblk)
-            pair_srcblk.append(sblk)
-            lsrc_list.append(ls)
-            ldst_list.append(ld)
-            ss = np.zeros(T, np.int32)
-            dd = np.zeros(T, np.int32)
-            mm = np.zeros(T, bool)
-            ss[:m] = src[c0:c1]
-            dd[:m] = dst[c0:c1]
-            mm[:m] = True
-            slot_src.append(ss)
-            slot_dst.append(dd)
-            slot_mask.append(mm)
-
-    # pad the pair list to a multiple of 8 (SDDMM processes 8 pairs/program);
-    # padded pairs point at block 0 with all-zero weights and are appended
-    # AFTER rowptr is built so no dst block iterates over them
-    pair_dstblk = np.asarray(pair_dstblk, np.int64)
-    counts = np.bincount(pair_dstblk, minlength=n_blocks)
-    rowptr[1:] = np.cumsum(counts)
-    n_pairs = len(pair_srcblk)
-    pad_pairs = (-n_pairs) % 8
-    for _ in range(pad_pairs):
-        pair_srcblk.append(0)
-        pair_dstblk = np.append(pair_dstblk, 0)
-        lsrc_list.append(np.zeros(T, np.int32))
-        ldst_list.append(np.zeros(T, np.int32))
-        slot_src.append(np.zeros(T, np.int32))
-        slot_dst.append(np.zeros(T, np.int32))
-        slot_mask.append(np.zeros(T, bool))
-    # pairs are already grouped by dst block (sorted by key)
+    rowptr[1:] = np.cumsum(np.bincount(pair_dstblk[:n_pairs], minlength=n_blocks))
     bcoo = BlockCOO(
         rowptr=jnp.asarray(rowptr.astype(np.int32)),
-        src_blk=jnp.asarray(np.asarray(pair_srcblk, np.int32)),
+        src_blk=jnp.asarray(pair_srcblk.astype(np.int32)),
         dst_blk=jnp.asarray(pair_dstblk.astype(np.int32)),
-        lsrc=jnp.asarray(np.stack(lsrc_list) if lsrc_list else np.zeros((0, T), np.int32)),
-        ldst=jnp.asarray(np.stack(ldst_list) if ldst_list else np.zeros((0, T), np.int32)),
+        lsrc=jnp.asarray(lsrc),
+        ldst=jnp.asarray(ldst),
         n_nodes=n,
         S=S,
         T=T,
     )
-    slot_src = np.concatenate(slot_src) if slot_src else np.zeros(0, np.int32)
-    slot_dst = np.concatenate(slot_dst) if slot_dst else np.zeros(0, np.int32)
-    slot_mask = np.concatenate(slot_mask) if slot_mask else np.zeros(0, bool)
-    return bcoo, slot_src, slot_dst, slot_mask
+    return bcoo, slot_src.reshape(-1), slot_dst.reshape(-1), slot_mask.reshape(-1)
 
 
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
-def _onehot_dot(onehot_f32, b_f32):
+def _onehot_dot(onehot_bf16, b_f32):
     """Exact-one-hot x f32 matmul at bf16 MXU rate with ~f32 accuracy.
 
     The one-hot side is exactly representable in bf16; the other side is split
@@ -179,7 +155,7 @@ def _onehot_dot(onehot_f32, b_f32):
     bf16 MXU passes with f32 accumulation instead of a 3-6 pass "highest"
     precision f32 matmul.  Relative error ~2^-16 on the gathered rows.
     """
-    a = onehot_f32.astype(jnp.bfloat16)
+    a = onehot_bf16.astype(jnp.bfloat16)
     b_hi = b_f32.astype(jnp.bfloat16)
     b_lo = (b_f32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     hi = jnp.dot(a, b_hi, preferred_element_type=jnp.float32)
@@ -190,36 +166,58 @@ def _onehot_dot(onehot_f32, b_f32):
 def _spmm_kernel(
     rowptr_ref,   # SMEM int32[n_blocks+1]   (scalar prefetch)
     srcblk_ref,   # SMEM int32[P]            (scalar prefetch)
-    w_ref,        # HBM  f32[P*T]   (flat; T-aligned slices)
-    lsrc_ref,     # HBM  int32[P*T]
-    ldst_ref,     # HBM  int32[P*T]
+    meta_ref,     # HBM  i32[P, 4, T]  rows: bitcast(w), lsrc, ldst, pad
     h_ref,        # HBM  f32[N_pad, D]
     out_ref,      # VMEM f32[S, D]  (blocked by grid)
-    hblk, wbuf, lsbuf, ldbuf, acc, sems,
+    hblk, mbuf, acc, sems,
     *, S, T, D,
 ):
+    """Double-buffered: pair p+1's two DMAs (source H block + packed edge
+    metadata) are in flight while pair p's one-hot matmuls run, hiding HBM
+    latency behind MXU work."""
     i = pl.program_id(0)
     p0 = rowptr_ref[i]
     p1 = rowptr_ref[i + 1]
     acc[:] = jnp.zeros_like(acc)
 
-    def body(p, _):
+    def copies(p, slot):
         blk = srcblk_ref[p]
-        cp_h = pltpu.make_async_copy(
-            h_ref.at[pl.ds(blk * S, S), :], hblk, sems.at[0]
+        return (
+            pltpu.make_async_copy(
+                h_ref.at[pl.ds(blk * S, S), :], hblk.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(meta_ref.at[p], mbuf.at[slot], sems.at[slot, 1]),
         )
-        off = pl.multiple_of(p * T, T)
-        cp_w = pltpu.make_async_copy(w_ref.at[pl.ds(off, T)], wbuf, sems.at[1])
-        cp_s = pltpu.make_async_copy(lsrc_ref.at[pl.ds(off, T)], lsbuf, sems.at[2])
-        cp_d = pltpu.make_async_copy(ldst_ref.at[pl.ds(off, T)], ldbuf, sems.at[3])
-        cp_h.start(); cp_w.start(); cp_s.start(); cp_d.start()
-        cp_h.wait(); cp_w.wait(); cp_s.wait(); cp_d.wait()
 
+    def start(p, slot):
+        for c in copies(p, slot):
+            c.start()
+
+    def wait(p, slot):
+        for c in copies(p, slot):
+            c.wait()
+
+    @pl.when(p0 < p1)
+    def _():
+        start(p0, 0)
+
+    def body(p, _):
+        slot = jax.lax.rem(p - p0, 2)
+        nxt_slot = jax.lax.rem(p - p0 + 1, 2)
+
+        @pl.when(p + 1 < p1)
+        def _():
+            start(p + 1, nxt_slot)
+
+        wait(p, slot)
+        w_row = pltpu.bitcast(mbuf[slot, 0:1, :], jnp.float32)      # [1, T]
+        ls = mbuf[slot, 1:2, :]                                     # [1, T]
+        ld = mbuf[slot, 2:3, :]                                     # [1, T]
         cols = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
-        p_src = (lsbuf[:].reshape(T, 1) == cols).astype(jnp.float32)   # [T, S]
-        gathered = _onehot_dot(p_src, hblk[:])                          # [T, D]
-        msg = gathered * wbuf[:].reshape(T, 1)                          # [T, D]
-        p_dst_t = (cols.T == ldbuf[:].reshape(1, T)).astype(jnp.float32)  # [S, T]
+        p_src = (ls.reshape(T, 1) == cols).astype(jnp.bfloat16)   # [T, S]
+        gathered = _onehot_dot(p_src, hblk[slot])                  # [T, D]
+        msg = gathered * w_row.reshape(T, 1)                       # [T, D]
+        p_dst_t = (cols.T == ld).astype(jnp.bfloat16)              # [S, T]
         acc[:] += _onehot_dot(p_dst_t, msg)
         return 0
 
@@ -242,25 +240,34 @@ def spmm_block(bcoo: BlockCOO, w: jnp.ndarray, h: jnp.ndarray, interpret: bool =
     D = ((D0 + 127) // 128) * 128
     if D != D0:
         h = jnp.pad(h, ((0, 0), (0, D - D0)))
+    # pack (w, lsrc, ldst) into one int32 [P, 4, T] array: a single metadata
+    # DMA per pair.  The pack dtype must be INT: small int32 indices bitcast
+    # to f32 are denormals, and the f32 copy path flushes them to zero on TPU
+    # (measured); f32 weights bitcast to int32 round-trip bit-exactly.
+    meta = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(w, jnp.int32),
+            bcoo.lsrc,
+            bcoo.ldst,
+            jnp.zeros_like(bcoo.lsrc),  # pad to 4 sublanes
+        ],
+        axis=1,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # w
-            pl.BlockSpec(memory_space=pltpu.HBM),  # lsrc
-            pl.BlockSpec(memory_space=pltpu.HBM),  # ldst
+            pl.BlockSpec(memory_space=pltpu.HBM),  # meta
             pl.BlockSpec(memory_space=pltpu.HBM),  # h
         ],
         out_specs=pl.BlockSpec(
             (S, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
+            pltpu.VMEM((2, S, D), jnp.float32),
+            pltpu.VMEM((2, 4, T), jnp.int32),
             pltpu.VMEM((S, D), jnp.float32),
-            pltpu.VMEM((T,), jnp.float32),
-            pltpu.VMEM((T,), jnp.int32),
-            pltpu.VMEM((T,), jnp.int32),
-            pltpu.VMEM((S, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = partial(_spmm_kernel, S=S, T=T, D=D)
@@ -269,8 +276,7 @@ def spmm_block(bcoo: BlockCOO, w: jnp.ndarray, h: jnp.ndarray, interpret: bool =
         out_shape=jax.ShapeDtypeStruct((n_blocks * S, D), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bcoo.rowptr, bcoo.src_blk, w.reshape(-1), bcoo.lsrc.reshape(-1),
-      bcoo.ldst.reshape(-1), h)
+    )(bcoo.rowptr, bcoo.src_blk, meta, h)
     return out[:, :D0] if D != D0 else out
 
 

@@ -46,29 +46,45 @@ def _patch_cuda():
     torch.Tensor._mdct_cuda_patched = True
 
 
+_REF_MODULE_NAMES = [
+    "Mcc", "graph_struct", "graph", "mvc_env", "PrepareBatchGraph",
+    "MultiDismantler_net_graphsage", "MultiDismantler_net",
+    "GMM", "Hyperbolic", "MRGNN", "MRGNN.mutil_layer_weight",
+    "MRGNN.encoders", "MRGNN.aggregators", "MRGNN.utils", "disjoint_set",
+    "graphutils", "utils",
+]
+
+
 def load_reference_modules(variant_dir: str = REF_DIR):
-    """Returns a namespace with the reference's model-side modules."""
+    """Returns a namespace with one reference variant's model-side modules.
+
+    Variant trees share module names, so any previously imported reference
+    modules are purged before importing from `variant_dir`."""
     import numpy as np
 
     if not hasattr(np, "mat"):  # numpy 2.0 removed np.mat; reference uses it
         np.mat = np.asmatrix
     _install_fake_torch_sparse()
     _patch_cuda()
-    if variant_dir not in sys.path:
-        sys.path.insert(0, variant_dir)
+    for n in list(sys.modules):
+        if n in _REF_MODULE_NAMES:
+            del sys.modules[n]
+    sys.path = [p for p in sys.path if "/root/reference/" not in p]
+    sys.path.insert(0, variant_dir)
     import importlib
 
-    names = [
-        "Mcc",
-        "graph_struct",
-        "graph",
-        "mvc_env",
-        "PrepareBatchGraph",
-        "MultiDismantler_net_graphsage",
-    ]
+    names = ["Mcc", "graph_struct", "graph", "mvc_env", "PrepareBatchGraph"]
     ns = types.SimpleNamespace()
     for n in names:
         setattr(ns, n, importlib.import_module(n))
+    try:
+        ns.MultiDismantler_net_graphsage = importlib.import_module(
+            "MultiDismantler_net_graphsage"
+        )
+    except ModuleNotFoundError:
+        ns.MultiDismantler_net_graphsage = importlib.import_module(
+            "MultiDismantler_net"
+        )
     from MRGNN.mutil_layer_weight import BitwiseMultipyLogis
 
     ns.BitwiseMultipyLogis = BitwiseMultipyLogis
@@ -83,6 +99,44 @@ def build_reference_net(ns, device=None):
     net = ns.MultiDismantler_net_graphsage.MultiDismantler_net(fusion, device=device)
     net.eval()
     return net
+
+
+def reference_predict_degree(ns, net, nx_g1, nx_g2, covered: list):
+    """Degree-cost variant Q-values: node_input = PrepareBatchGraph.node_feat
+    ([weight, 1] per surviving node), net has no adj/v_adj arguments."""
+    import numpy as np
+    import torch
+
+    g = ns.graph.Graph_test(nx_g1.copy(), nx_g2.copy())
+    env = ns.mvc_env.MvcEnv(50)
+    env.s0(g)
+    for a in covered:
+        env.stepWithoutReward(a)
+
+    pbg = ns.PrepareBatchGraph.PrepareBatchGraph(0)
+    pbg.SetupPredAll([0], [g], [env.action_list], [env.remove_edge])
+    idx_map = [it[0] for it in pbg.idx_map_list][0]
+
+    node_input = torch.tensor(np.array(pbg.node_feat), dtype=torch.float32)
+    with torch.no_grad():
+        q = net.test_forward(
+            node_input=node_input,
+            subgsum_param=pbg.subgsum_param,
+            n2nsum_param=pbg.n2nsum_param,
+            rep_global=pbg.rep_global,
+            aux_input=torch.tensor(np.array(pbg.aux_feat), dtype=torch.float32),
+        )
+    raw = q[:, 0].numpy()
+    out = np.full(g.num_nodes, -np.inf)
+    pos = 0
+    for k in range(len(idx_map)):
+        if idx_map[k] >= 0:
+            out[k] = raw[pos]
+            pos += 1
+    for k in env.action_list:
+        out[k] = -np.inf
+    assert pos == len(raw)
+    return out, np.array(pbg.aux_feat), env.remove_edge
 
 
 def reference_predict(ns, net, nx_g1, nx_g2, covered: list):

@@ -1,0 +1,102 @@
+"""Parallelism: dp-sharded train step and gp edge-partitioned SpMM on the
+8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_mesh_shapes():
+    from mdcommunity_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=4, gp=2)
+    assert mesh.shape == {"dp": 4, "gp": 2}
+
+
+def test_edge_partitioned_spmm():
+    from mdcommunity_tpu.parallel.mesh import make_mesh
+    from mdcommunity_tpu.parallel.partition import shard_edges, spmm_edge_partitioned
+
+    mesh = make_mesh(dp=1, gp=8)
+    rng = np.random.default_rng(0)
+    n, e, d = 256, 2048, 64
+    src = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    dst = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    with mesh:
+        s, dd, ww = shard_edges(mesh, src, dst, w)
+        out = spmm_edge_partitioned(mesh, s, dd, ww, h)
+    ref = np.zeros((n, d), np.float32)
+    np.add.at(ref, np.asarray(dst), np.asarray(h)[np.asarray(src)] * np.asarray(w)[:, None])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dp_sharded_train_step_matches_single_device():
+    """The dp-sharded jitted train step produces the same parameters as the
+    unsharded one (gradient all-reduce correctness)."""
+    import optax
+
+    from mdcommunity_tpu.env.batch import make_batch_inputs
+    from mdcommunity_tpu.env.env import batched_reset
+    from mdcommunity_tpu.graphs.duplex import build_duplex, stack_graphs
+    from mdcommunity_tpu.graphs.gmm import gmm_duplex_edges
+    from mdcommunity_tpu.models.net import init_params
+    from mdcommunity_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from mdcommunity_tpu.rl.dqn import train_step
+
+    rng = np.random.default_rng(0)
+    graphs = []
+    while len(graphs) < 8:
+        n = int(rng.integers(10, 14))
+        e0, e1 = gmm_duplex_edges(n, rng)
+        if 2 * max(len(e0), len(e1)) > 256:
+            continue
+        g = build_duplex(n, e0, e1, 16, 256)
+        if int(g.max_rank) > 1:
+            graphs.append(g)
+    gb = stack_graphs(graphs)
+    state = batched_reset(gb)
+    inputs = make_batch_inputs(gb, state.covered, state.sever, dense=True)
+    actions = jnp.argmax(inputs.deg[:, 0], axis=1).astype(jnp.int32)
+    rewards = jnp.zeros((8,), jnp.float32)
+    terminal = jnp.zeros((8,), bool)
+    params = init_params(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(params)
+
+    p1, _, loss1, *_ = train_step(
+        params, params, opt_state, gb,
+        state.covered, state.sever, actions, rewards,
+        state.covered, state.sever, terminal, optimizer=optimizer,
+    )
+
+    mesh = make_mesh(dp=8, gp=1)
+    with mesh:
+        gb_s = shard_batch(mesh, gb)
+        cov_s = shard_batch(mesh, state.covered)
+        sev_s = shard_batch(mesh, state.sever)
+        p2, _, loss2, *_ = train_step(
+            replicate(mesh, params), replicate(mesh, params),
+            replicate(mesh, opt_state), gb_s,
+            cov_s, sev_s, shard_batch(mesh, actions),
+            shard_batch(mesh, rewards), cov_s, sev_s,
+            shard_batch(mesh, terminal), optimizer=optimizer,
+        )
+    # losses agree tightly; parameters agree to ~adam-step scale (1e-4): a
+    # reduction-order change near a zero gradient can flip one adam update
+    assert abs(float(loss1) - float(loss2)) < 1e-6
+    for k in ["w_n2l", "cross_product", "p_node_conv3"]:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), atol=2.5e-4
+        )
+
+
+def test_graft_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
