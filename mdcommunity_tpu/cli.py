@@ -134,6 +134,44 @@ def cmd_analyze(args):
     comparison_report(args.unitcost, args.community, args.output)
 
 
+def cmd_summarize_edges(args):
+    """Dataset stats + recommended layer pair per .edges file (reference:
+    summarize_real_edges.py)."""
+    from mdcommunity_tpu.graphs.io import summarize_multiplex_dir
+
+    rows = summarize_multiplex_dir(args.data, args.output)
+    cols = ["dataset", "n_nodes", "n_layers", "layer_m", "layer_n"]
+    print("\t".join(cols))
+    for r in rows:
+        print("\t".join(str(r[c]) for c in cols))
+    if args.output:
+        print(f"Summary written to: {args.output}")
+
+
+def cmd_check_features(args):
+    """Sanity-check community prior/HCA features on a fresh GMM graph
+    (reference: check_features.py — shape, range in [0, 1])."""
+    _setup_jax(args.cpu)
+    import numpy as np
+
+    from mdcommunity_tpu.graphs.gmm import generate_pool
+
+    rng = np.random.default_rng(args.seed)
+    prior = "hca" if args.variant == "hca" else args.feature
+    (g,) = generate_pool(rng, 1, args.size, args.size, 64, 2048, False, prior)
+    if args.variant == "hca":
+        feats = np.asarray(g.hca_feat)[: args.size]
+        print("hca_feat shape (f_het, f_impact, f_roi):", feats.shape)
+        print("first 5 rows:\n", feats[:5])
+        print("f_het within [0,1]:", bool((feats[:, 0] >= 0).all() and (feats[:, 0] <= 1).all()))
+    else:
+        feats = np.asarray(g.node_feat)[:, : args.size]
+        print("prior feature shape:", feats.shape)
+        print("first 5 cols:\n", feats[:, :5])
+        print("min:", feats.min(), "max:", feats.max())
+        print("values within [0,1]:", bool((feats >= 0).all() and (feats <= 1).all()))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="mdcommunity_tpu")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -182,6 +220,19 @@ def main(argv=None):
     a.add_argument("--community", required=True)
     a.add_argument("-o", "--output", default="final_comparison_report.csv")
     a.set_defaults(fn=cmd_analyze)
+
+    se = sub.add_parser("summarize-edges")
+    se.add_argument("--data", required=True, help="directory with .edges files")
+    se.add_argument("-o", "--output", default=None)
+    se.set_defaults(fn=cmd_summarize_edges)
+
+    cf = sub.add_parser("check-features")
+    cf.add_argument("--variant", default="ce", choices=["ce", "hca"])
+    cf.add_argument("--feature", default="boundary",
+                    choices=["boundary", "participation"])
+    cf.add_argument("--size", type=int, default=30)
+    cf.add_argument("--seed", type=int, default=0)
+    cf.set_defaults(fn=cmd_check_features)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -137,3 +137,17 @@ def heuristic_dismantle(
         curve.append(r / max_rank)
         score += r / (max_rank * n)
     return sol, score, curve
+
+
+def hxa(g: DuplexGraph, method: str = "HDA") -> Tuple[float, List[int]]:
+    """Reference-API shim for the agent-side heuristic comparator
+    (MultiDismantler_torch.HXA :821-843): 'HDA'/'HBA'/'HCA'/'HPRA' map onto the
+    adaptive duplex heuristics above; returns (robustness score, solution)."""
+    name = {
+        "HDA": "degree",
+        "HBA": "betweenness",
+        "HCA": "closeness",
+        "HPRA": "pagerank",
+    }[method]
+    sol, score, _ = heuristic_dismantle(g, method=name, combine="max2")
+    return score, sol

@@ -51,3 +51,35 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
     )
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bring-up: call once per host before building meshes.
+
+    On TPU pods the three arguments are discovered from the environment
+    (jax.distributed.initialize() with no args); pass them explicitly for
+    manual CPU/GPU multi-process runs.  Returns the process index.  After
+    this, `jax.devices()` spans the whole slice and `make_mesh` distributes
+    the global device list: put 'gp' on the minor (ICI-contiguous) axis so
+    halo collectives ride ICI and 'dp' gradient all-reduces may cross DCN.
+    """
+    import jax
+
+    if jax.process_count() == 1 and (
+        coordinator_address is not None or num_processes not in (None, 1)
+    ):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif jax.process_count() == 1 and coordinator_address is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process run (no cluster env): nothing to do
+    return jax.process_index()

@@ -183,6 +183,8 @@ def _batched_bridge_bonus(g, state, actions, tau=0.5):
 class DQNAgent:
     def __init__(self, cfg: Config, seed: Optional[int] = None):
         self.cfg = cfg
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         seed = cfg.seed if seed is None else seed
         self.nprng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
@@ -439,8 +441,13 @@ class DQNAgent:
         return float(jnp.mean(score))
 
     # -- persistence -----------------------------------------------------------
-    def save(self, path: str):
-        state = {
+    # Full-state checkpoints (params + target + optimizer + RNG), a true-resume
+    # improvement over the reference's weights-only torch.save
+    # (MultiDismantler_torch.py:787-797).  Default container is a pickle file;
+    # a directory path selects the Orbax backend (async-safe, multi-host-aware,
+    # the idiomatic JAX store for pod-scale runs).
+    def _state_dict(self):
+        return {
             "params": jax.device_get(self.params),
             "target_params": jax.device_get(self.target_params),
             "opt_state": jax.device_get(self.opt_state),
@@ -449,13 +456,47 @@ class DQNAgent:
             "key": jax.device_get(self.key),
             "config": dataclasses.asdict(self.cfg),
         }
+
+    def save(self, path: str):
+        state = self._state_dict()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "wb") as f:
             pickle.dump(state, f)
 
+    def save_orbax(self, path: str):
+        import orbax.checkpoint as ocp
+
+        state = self._state_dict()
+        # array leaves go to orbax; host metadata (RNG state, config, iter)
+        # to a sidecar json in the same directory
+        meta = {k: state.pop(k) for k in ("nprng", "config", "iteration")}
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), state, force=True)
+        with open(os.path.join(path, "agent_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def load_orbax(self, path: str, weights_only: bool = False):
+        import orbax.checkpoint as ocp
+
+        # restore against the live state as target so optax NamedTuple
+        # structure (and all dtypes) round-trip instead of nested dicts
+        target = self._state_dict()
+        for k in ("nprng", "config", "iteration"):
+            target.pop(k)
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(os.path.abspath(path), target)
+        with open(os.path.join(path, "agent_meta.json")) as f:
+            state.update(json.load(f))
+        self._restore(state, weights_only)
+
     def load(self, path: str, weights_only: bool = False):
+        if os.path.isdir(path):
+            return self.load_orbax(path, weights_only)
         with open(path, "rb") as f:
             state = pickle.load(f)
+        self._restore(state, weights_only)
+
+    def _restore(self, state, weights_only: bool = False):
         self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
         self.target_params = jax.tree_util.tree_map(
             jnp.asarray, state["target_params"]

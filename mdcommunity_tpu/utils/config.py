@@ -83,6 +83,10 @@ class Config:
     dtype: str = "float32"            # model compute dtype ("bfloat16" for speed)
     dense_threshold: int = 2048       # use dense MXU aggregation below this N
     seed: int = 0
+    debug_nans: bool = False          # jax nan-checker on every op output — the
+                                      # analogue of the reference's
+                                      # torch.autograd.set_detect_anomaly(True)
+                                      # (train.py:23); big slowdown, debug only
 
     # ---- parallelism --------------------------------------------------------
     dp_axis: str = "dp"
