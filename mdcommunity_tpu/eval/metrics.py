@@ -41,6 +41,13 @@ def dismantle_greedy(
 
     Returns (solution node list, score = AUDC, MaxCCList curve starting at 1.0).
     """
+    aggregate_fn = None
+    if hasattr(g, "bcoo"):  # BlockedDuplex: blocked-pair Pallas aggregation
+        from mdcommunity_tpu.models.net import make_blocked_aggregate
+
+        aggregate_fn = make_blocked_aggregate(g)
+        g = g.g
+        dense = False
     if dense is None:
         dense = g.pad_n <= 2048
     degree_cost = variant == "degree_cost"
@@ -52,7 +59,16 @@ def dismantle_greedy(
     max_steps = max_steps or n
 
     while not bool(state.terminal[0]) and len(sol) < max_steps:
-        q = predict_q(params, gb, state.covered, state.sever, variant, dense=dense)
+        if aggregate_fn is not None:
+            from mdcommunity_tpu.env.batch import make_batch_inputs
+            from mdcommunity_tpu.models.net import test_forward as _tf
+
+            inputs = make_batch_inputs(
+                gb, state.covered, state.sever, dense=False, variant=variant
+            )
+            q = _tf(params, gb, inputs, aggregate_fn=aggregate_fn)
+        else:
+            q = predict_q(params, gb, state.covered, state.sever, variant, dense=dense)
         q_np = np.asarray(q[0])
         order = np.argsort(-q_np)[:step]
         for a in order:

@@ -29,6 +29,7 @@ def evaluate_real(
     variant: str = "unit_cost",
     layers: Optional[Tuple[int, int]] = None,
     n_nodes: Optional[int] = None,
+    blocked_threshold: int = 4096,
 ) -> Tuple[list, float, float]:
     """Dismantle one real dataset; returns (solution, solve_time, score).
 
@@ -47,11 +48,28 @@ def evaluate_real(
     path = os.path.join(data_path, fname)
     g = load_real_duplex(path, n_nodes, layers, degree_cost=(variant == "degree_cost"))
 
+    perm = None
+    if n_nodes > blocked_threshold and variant in ("unit_cost", "degree_cost"):
+        # large nets: RCM-reorder + blocked-pair Pallas aggregation
+        # (graphs/blocked.py) instead of dense [N, N] tiles
+        from mdcommunity_tpu.graphs.blocked import build_blocked_duplex
+        from mdcommunity_tpu.graphs.io import read_multiplex_edges
+
+        raw = read_multiplex_edges(path, n_nodes)
+        e0 = raw.get(layers[0], np.zeros((0, 2), np.int32))
+        e1 = raw.get(layers[1], np.zeros((0, 2), np.int32))
+        weights = np.asarray(g.weights) if variant == "degree_cost" else None
+        bd = build_blocked_duplex(n_nodes, e0, e1, weights=weights)
+        g, perm = bd, bd.perm
+
     step = max(int(step_ratio * n_nodes), 1) if step_ratio > 0 else 1
 
     t0 = time.time()
     sol, score, curve = dismantle_greedy(params, g, step=step, variant=variant)
     solve_time = time.time() - t0
+    if perm is not None:
+        sol = [int(perm[v]) for v in sol]  # back to original node ids
+        g = g.g
 
     sub = os.path.join(save_dir, f"StepRatio_{step_ratio:.4f}")
     base = dataset.split(".")[0]

@@ -196,8 +196,10 @@ def stack_graphs(graphs: List[DuplexGraph]) -> DuplexGraph:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *graphs)
 
 
+@jax.jit
 def index_graphs(batched: DuplexGraph, idx: jnp.ndarray) -> DuplexGraph:
-    """Gather a sub-batch of a batched DuplexGraph by integer indices."""
+    """Gather a sub-batch of a batched DuplexGraph by integer indices (jitted:
+    one fused dispatch instead of an eager gather per pytree leaf)."""
     return jax.tree_util.tree_map(lambda x: x[idx], batched)
 
 

@@ -89,7 +89,28 @@ def _aggregate(g: DuplexGraph, inputs: BatchInputs, layer: int, h: jnp.ndarray):
     )(g.src[:, layer], g.dst[:, layer], inputs.live_w[:, layer], h)
 
 
-def _embed(params: Params, g: DuplexGraph, inputs: BatchInputs, max_bp_iter: int):
+def make_blocked_aggregate(bd, interpret: bool = None):
+    """Aggregate function over a BlockedDuplex: the graph's edge arrays are in
+    pair-slot order, so per-layer live weights reshape straight into the
+    blocked-pair Pallas kernel's w[P, T] operand (graphs/blocked.py).
+    interpret=None auto-selects the Pallas interpreter off-TPU."""
+    from mdcommunity_tpu.ops.pallas_spmm import spmm_block
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    def agg(g, inputs, layer, h):
+        bcoo = bd.bcoo[layer]
+        w = inputs.live_w[0, layer, : bcoo.n_slots].reshape(
+            bcoo.n_pairs, bcoo.T
+        )
+        return spmm_block(bcoo, w, h[0], interpret=interpret)[None]
+
+    return agg
+
+
+def _embed(params: Params, g: DuplexGraph, inputs: BatchInputs, max_bp_iter: int,
+           aggregate_fn=None):
     """Run per-layer message passing + fusion.
 
     Returns (H_fused [2, B, N, D], Y_fused [2, B, D]) — l2-normalized.
@@ -103,7 +124,7 @@ def _embed(params: Params, g: DuplexGraph, inputs: BatchInputs, max_bp_iter: int
         y = l2_normalize(jax.nn.relu(ones_feat @ params["w_n2l"]))  # [D]
         y = jnp.broadcast_to(y, (x.shape[0], y.shape[-1]))  # [B, D]
         for _ in range(max_bp_iter):
-            pool = _aggregate(g, inputs, l, h)
+            pool = (aggregate_fn or _aggregate)(g, inputs, l, h)
             h_new = jnp.concatenate(
                 [pool @ params["p_node_conv"], h @ params["p_node_conv2"]], axis=-1
             )
@@ -165,9 +186,10 @@ def test_forward(
     g: DuplexGraph,
     inputs: BatchInputs,
     max_bp_iter: int = 3,
+    aggregate_fn=None,
 ) -> jnp.ndarray:
     """Q(s, ·) for every node: [B, N]; dead nodes get -inf."""
-    h_f, y_f = _embed(params, g, inputs, max_bp_iter)
+    h_f, y_f = _embed(params, g, inputs, max_bp_iter, aggregate_fn)
     q_layers = []
     for l in range(2):
         scal = y_f[l] @ params["cross_product"]          # [B, 1]

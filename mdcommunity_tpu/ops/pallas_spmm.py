@@ -52,8 +52,7 @@ class BlockCOO:
     lsrc    : int32[P, T]        local source row within the source block
     ldst    : int32[P, T]        local destination row within the dest block
     (padding slots carry lsrc=ldst=0 and must have w=0).  T must be a
-    multiple of 1024: flat pair arrays are (1024)-tiled in HBM and DMA slices
-    must be tile-aligned.
+    multiple of 128 (lane width): edge metadata moves as [4, T] DMA rows.
     """
 
     rowptr: jnp.ndarray
@@ -87,6 +86,8 @@ def build_block_coo(
     pair-slot order ([P*T] each).  Callers keep ALL per-edge state (live masks,
     weights) in this order; w passed to the kernels is reshape(P, T).
     """
+    assert T % 128 == 0, "T must be a multiple of the 128-lane width"
+    assert S % 8 == 0
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     n_blocks = (n + S - 1) // S
@@ -147,34 +148,47 @@ def build_block_coo(
 # kernels
 # ---------------------------------------------------------------------------
 
-def _onehot_dot(onehot_bf16, b_f32):
-    """Exact-one-hot x f32 matmul at bf16 MXU rate with ~f32 accuracy.
+def _hilo_pack(x_f32):
+    """f32[N, D] -> bf16[N, 2D] = [hi | lo] (classic bf16x2 decomposition).
 
-    The one-hot side is exactly representable in bf16; the other side is split
-    into hi+lo bf16 parts (classic bf16x2 decomposition), giving two full-rate
-    bf16 MXU passes with f32 accumulation instead of a 3-6 pass "highest"
-    precision f32 matmul.  Relative error ~2^-16 on the gathered rows.
+    A one-hot matmul against the packed operand gathers BOTH parts in one
+    bf16-rate MXU pass with f32 accumulation; summing the two lane halves of
+    the product reconstructs the f32 rows to ~2^-16 relative error.  Compared
+    to two sequential hi/lo matmuls this halves the MXU passes per pair and
+    moves the feature block at bf16 width (half the DMA bytes).
     """
-    a = onehot_bf16.astype(jnp.bfloat16)
-    b_hi = b_f32.astype(jnp.bfloat16)
-    b_lo = (b_f32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    hi = jnp.dot(a, b_hi, preferred_element_type=jnp.float32)
-    lo = jnp.dot(a, b_lo, preferred_element_type=jnp.float32)
-    return hi + lo
+    hi = x_f32.astype(jnp.bfloat16)
+    lo = (x_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=-1)
+
+
+def _edge_meta(bcoo: BlockCOO, w: jnp.ndarray = None):
+    """Pack (w, lsrc, ldst) into one int32 [P, 4, T] array: a single metadata
+    DMA per pair.  The pack dtype must be INT: small int32 indices bitcast to
+    f32 are denormals, and the f32 copy path flushes them to zero on TPU
+    (measured); f32 weights bitcast to int32 round-trip bit-exactly."""
+    wrow = (
+        jax.lax.bitcast_convert_type(w, jnp.int32)
+        if w is not None
+        else jnp.zeros_like(bcoo.lsrc)
+    )
+    return jnp.stack(
+        [wrow, bcoo.lsrc, bcoo.ldst, jnp.zeros_like(bcoo.lsrc)], axis=1
+    )
 
 
 def _spmm_kernel(
     rowptr_ref,   # SMEM int32[n_blocks+1]   (scalar prefetch)
     srcblk_ref,   # SMEM int32[P]            (scalar prefetch)
     meta_ref,     # HBM  i32[P, 4, T]  rows: bitcast(w), lsrc, ldst, pad
-    h_ref,        # HBM  f32[N_pad, D]
+    h_ref,        # HBM  bf16[N_pad, 2D] hi|lo packed
     out_ref,      # VMEM f32[S, D]  (blocked by grid)
     hblk, mbuf, acc, sems,
     *, S, T, D,
 ):
-    """Double-buffered: pair p+1's two DMAs (source H block + packed edge
-    metadata) are in flight while pair p's one-hot matmuls run, hiding HBM
-    latency behind MXU work."""
+    """Double-buffered: pair p+1's two DMAs (packed source H block + packed
+    edge metadata) are in flight while pair p's two one-hot matmuls run,
+    hiding HBM latency behind MXU work."""
     i = pl.program_id(0)
     p0 = rowptr_ref[i]
     p1 = rowptr_ref[i + 1]
@@ -214,15 +228,19 @@ def _spmm_kernel(
         ls = mbuf[slot, 1:2, :]                                     # [1, T]
         ld = mbuf[slot, 2:3, :]                                     # [1, T]
         cols = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
-        p_src = (ls.reshape(T, 1) == cols).astype(jnp.bfloat16)   # [T, S]
-        gathered = _onehot_dot(p_src, hblk[slot])                  # [T, D]
-        msg = gathered * w_row.reshape(T, 1)                       # [T, D]
-        p_dst_t = (cols.T == ld).astype(jnp.bfloat16)              # [S, T]
-        acc[:] += _onehot_dot(p_dst_t, msg)
+        p_src = (ls.reshape(T, 1) == cols).astype(jnp.bfloat16)     # [T, S]
+        gcat = jnp.dot(                                             # [T, 2D]
+            p_src, hblk[slot], preferred_element_type=jnp.float32
+        )
+        msg = (gcat[:, :D] + gcat[:, D:]) * w_row.reshape(T, 1)     # [T, D] f32
+        p_dst_t = (cols.T == ld).astype(jnp.bfloat16)               # [S, T]
+        acc[:] += jnp.dot(                                          # [S, 2D]
+            p_dst_t, _hilo_pack(msg), preferred_element_type=jnp.float32
+        )
         return 0
 
     jax.lax.fori_loop(p0, p1, body, 0)
-    out_ref[:] = acc[:]
+    out_ref[:] = acc[:, :D] + acc[:, D:]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -230,43 +248,31 @@ def spmm_block(bcoo: BlockCOO, w: jnp.ndarray, h: jnp.ndarray, interpret: bool =
     """out = A @ h.  w: f32[P, T] live-edge weights (0 on padding); h: [N_pad, D]
     with N_pad = n_blocks * S.  Returns [N_pad, D].
 
-    D is padded to a 128-lane multiple internally (Mosaic HBM slices must be
-    lane-aligned).  Feature packing tip: the duplex model's two 64-dim layers
-    fused side-by-side fill the 128 lanes exactly.
+    D is padded to a 64-lane multiple internally; the hi|lo packed operand
+    then fills full 128-lane registers (the model's 64-dim embeddings pack
+    exactly into one).
     """
     S, T = bcoo.S, bcoo.T
     n_blocks = bcoo.n_blocks
     D0 = h.shape[-1]
-    D = ((D0 + 127) // 128) * 128
+    D = ((D0 + 63) // 64) * 64
     if D != D0:
         h = jnp.pad(h, ((0, 0), (0, D - D0)))
-    # pack (w, lsrc, ldst) into one int32 [P, 4, T] array: a single metadata
-    # DMA per pair.  The pack dtype must be INT: small int32 indices bitcast
-    # to f32 are denormals, and the f32 copy path flushes them to zero on TPU
-    # (measured); f32 weights bitcast to int32 round-trip bit-exactly.
-    meta = jnp.stack(
-        [
-            jax.lax.bitcast_convert_type(w, jnp.int32),
-            bcoo.lsrc,
-            bcoo.ldst,
-            jnp.zeros_like(bcoo.lsrc),  # pad to 4 sublanes
-        ],
-        axis=1,
-    )
+    meta = _edge_meta(bcoo, w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # meta
-            pl.BlockSpec(memory_space=pltpu.HBM),  # h
+            pl.BlockSpec(memory_space=pltpu.HBM),  # h packed
         ],
         out_specs=pl.BlockSpec(
             (S, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, S, D), jnp.float32),
+            pltpu.VMEM((2, S, 2 * D), jnp.bfloat16),
             pltpu.VMEM((2, 4, T), jnp.int32),
-            pltpu.VMEM((S, D), jnp.float32),
+            pltpu.VMEM((S, 2 * D), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -276,39 +282,60 @@ def spmm_block(bcoo: BlockCOO, w: jnp.ndarray, h: jnp.ndarray, interpret: bool =
         out_shape=jax.ShapeDtypeStruct((n_blocks * S, D), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bcoo.rowptr, bcoo.src_blk, meta, h)
+    )(bcoo.rowptr, bcoo.src_blk, meta, _hilo_pack(h))
     return out[:, :D0] if D != D0 else out
 
 
 def _sddmm_kernel(
     srcblk_ref,   # SMEM int32[P] (scalar prefetch)
     dstblk_ref,   # SMEM int32[P] (scalar prefetch)
-    h_ref, g_ref, lsrc_ref, ldst_ref,
+    meta_ref,     # HBM  i32[P, 4, T] rows: pad, lsrc, ldst, pad
+    h_ref, g_ref, # HBM  bf16[N_pad, 2D] hi|lo packed
     out_ref,      # VMEM f32[8, T] blocked over pair groups
-    hblk, gblk, lsbuf, ldbuf, sems,
+    hblk, gblk, mbuf, sems,
     *, S, T, D,
 ):
+    """8 pairs per program, double-buffered across them (three DMAs per pair:
+    packed H block, packed G block, edge metadata)."""
     pg = pl.program_id(0)
+
+    def copies(p, slot):
+        return (
+            pltpu.make_async_copy(
+                h_ref.at[pl.ds(srcblk_ref[p] * S, S), :], hblk.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                g_ref.at[pl.ds(dstblk_ref[p] * S, S), :], gblk.at[slot],
+                sems.at[slot, 1],
+            ),
+            pltpu.make_async_copy(meta_ref.at[p], mbuf.at[slot], sems.at[slot, 2]),
+        )
+
+    for c in copies(pg * 8, 0):
+        c.start()
 
     def body(k, _):
         p = pg * 8 + k
-        cp_h = pltpu.make_async_copy(
-            h_ref.at[pl.ds(srcblk_ref[p] * S, S), :], hblk, sems.at[0]
-        )
-        cp_g = pltpu.make_async_copy(
-            g_ref.at[pl.ds(dstblk_ref[p] * S, S), :], gblk, sems.at[1]
-        )
-        off = pl.multiple_of(p * T, T)
-        cp_s = pltpu.make_async_copy(lsrc_ref.at[pl.ds(off, T)], lsbuf, sems.at[2])
-        cp_d = pltpu.make_async_copy(ldst_ref.at[pl.ds(off, T)], ldbuf, sems.at[3])
-        cp_h.start(); cp_g.start(); cp_s.start(); cp_d.start()
-        cp_h.wait(); cp_g.wait(); cp_s.wait(); cp_d.wait()
+        slot = jax.lax.rem(k, 2)
+        nxt_slot = jax.lax.rem(k + 1, 2)
+
+        @pl.when(k + 1 < 8)
+        def _():
+            for c in copies(p + 1, nxt_slot):
+                c.start()
+
+        for c in copies(p, slot):
+            c.wait()
+        ls = mbuf[slot, 1:2, :]
+        ld = mbuf[slot, 2:3, :]
         cols = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
-        p_src = (lsbuf[:].reshape(T, 1) == cols).astype(jnp.float32)
-        p_dst = (ldbuf[:].reshape(T, 1) == cols).astype(jnp.float32)
-        hs = _onehot_dot(p_src, hblk[:])                                  # [T, D]
-        gd = _onehot_dot(p_dst, gblk[:])                                  # [T, D]
-        out_ref[k, :] = jnp.sum(hs * gd, axis=1)
+        p_src = (ls.reshape(T, 1) == cols).astype(jnp.bfloat16)
+        p_dst = (ld.reshape(T, 1) == cols).astype(jnp.bfloat16)
+        hs = jnp.dot(p_src, hblk[slot], preferred_element_type=jnp.float32)
+        gd = jnp.dot(p_dst, gblk[slot], preferred_element_type=jnp.float32)
+        prod = (hs[:, :D] + hs[:, D:]) * (gd[:, :D] + gd[:, D:])    # [T, D]
+        out_ref[k, :] = jnp.sum(prod, axis=1)
         return 0
 
     jax.lax.fori_loop(0, 8, body, 0)
@@ -317,10 +344,10 @@ def _sddmm_kernel(
 @partial(jax.jit, static_argnames=("interpret",))
 def sddmm_block(bcoo: BlockCOO, h: jnp.ndarray, g: jnp.ndarray, interpret: bool = False):
     """dw[slot] = h[src_slot] · g[dst_slot] in pair layout [P, T] — the SDDMM
-    side of the SpMM VJP, same one-hot MXU trick, one grid program per pair."""
+    side of the SpMM VJP, same packed one-hot MXU trick."""
     S, T = bcoo.S, bcoo.T
     D0 = h.shape[-1]
-    D = ((D0 + 127) // 128) * 128
+    D = ((D0 + 63) // 64) * 64
     if D != D0:
         h = jnp.pad(h, ((0, 0), (0, D - D0)))
         g = jnp.pad(g, ((0, 0), (0, D - D0)))
@@ -329,18 +356,16 @@ def sddmm_block(bcoo: BlockCOO, h: jnp.ndarray, g: jnp.ndarray, interpret: bool 
         num_scalar_prefetch=2,
         grid=(bcoo.n_pairs // 8,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # h
-            pl.BlockSpec(memory_space=pltpu.HBM),  # g
-            pl.BlockSpec(memory_space=pltpu.HBM),  # lsrc
-            pl.BlockSpec(memory_space=pltpu.HBM),  # ldst
+            pl.BlockSpec(memory_space=pltpu.HBM),  # meta
+            pl.BlockSpec(memory_space=pltpu.HBM),  # h packed
+            pl.BlockSpec(memory_space=pltpu.HBM),  # g packed
         ],
         out_specs=pl.BlockSpec((8, T), lambda p, *_: (p, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((S, D), jnp.float32),
-            pltpu.VMEM((S, D), jnp.float32),
-            pltpu.VMEM((T,), jnp.int32),
-            pltpu.VMEM((T,), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, S, 2 * D), jnp.bfloat16),
+            pltpu.VMEM((2, S, 2 * D), jnp.bfloat16),
+            pltpu.VMEM((2, 4, T), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     kernel = partial(_sddmm_kernel, S=S, T=T, D=D)
@@ -349,7 +374,7 @@ def sddmm_block(bcoo: BlockCOO, h: jnp.ndarray, g: jnp.ndarray, interpret: bool 
         out_shape=jax.ShapeDtypeStruct((bcoo.n_pairs, T), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bcoo.src_blk, bcoo.dst_blk, h, g, bcoo.lsrc.reshape(-1), bcoo.ldst.reshape(-1))
+    )(bcoo.src_blk, bcoo.dst_blk, _edge_meta(bcoo), _hilo_pack(h), _hilo_pack(g))
 
 
 # ---------------------------------------------------------------------------

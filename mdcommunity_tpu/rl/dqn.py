@@ -317,9 +317,9 @@ class DQNAgent:
             self._reset_envs()
         done = 0
         guard = 0
+        term = np.asarray(self._env_state.terminal)
         while done < n_traj and guard < 100000:
             guard += 1
-            term = np.asarray(self._env_state.terminal)
             finished = np.nonzero(term)[0]
             if len(finished):
                 for i in finished:
@@ -333,6 +333,7 @@ class DQNAgent:
                 if done >= n_traj:
                     break
                 # immediately-terminal fresh graphs are handled next loop
+                term = np.asarray(self._env_state.terminal)
                 continue
 
             ce_prune = self.cfg.variant == "ce" and self.cfg.action_pruning_train
@@ -365,10 +366,13 @@ class DQNAgent:
             )
             if bonus is not None:
                 rewards = rewards + self.cfg.hca_beta * bonus
-            acts_np = np.asarray(actions)
-            rew_np = np.asarray(rewards)
-            cov_np = np.asarray(new_state.covered)
-            sev_np = np.asarray(new_state.sever)
+            # ONE host transfer per step (through the TPU relay each fetch is
+            # a full round trip, so the four arrays + next loop's terminal
+            # flags come back together)
+            acts_np, rew_np, cov_np, sev_np, term = jax.device_get(
+                (actions, rewards, new_state.covered, new_state.sever,
+                 new_state.terminal)
+            )
             for i in range(self.cfg.num_env):
                 t = self._traj[i]
                 t["actions"].append(int(acts_np[i]))
@@ -412,7 +416,10 @@ class DQNAgent:
         )
         if tree_idx is not None:
             self.replay.update_priorities(tree_idx, np.asarray(td))
-        return float(loss)
+        # device scalar, NOT synced: a float() here would block the dispatch
+        # pipeline every iteration (and through the TPU relay costs a ~30 ms
+        # round trip); fetch it only where a log line needs the value
+        return loss
 
     # -- evaluation ------------------------------------------------------------
     def validate(self) -> float:

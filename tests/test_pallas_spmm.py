@@ -100,3 +100,39 @@ def test_vjp_symmetric(problem):
     np.testing.assert_allclose(
         np.asarray(dw).reshape(-1)[qm], np.asarray(gw).reshape(-1)[qm], atol=2e-2
     )
+
+
+def test_spmm_small_T_and_odd_dim():
+    """T=512 layout (lane-width granularity) and D not a multiple of 64."""
+    N, E, D, S, T = 1024, 4096, 48, 512, 512
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, N, E).astype(np.int32)
+    dst = rng.integers(0, N, E).astype(np.int32)
+    bcoo, ssrc, sdst, smask = build_block_coo(src, dst, N, S, T)
+    assert bcoo.T == 512
+    w = rng.random(bcoo.n_slots).astype(np.float32) * smask
+    h = rng.standard_normal((bcoo.n_blocks * S, D)).astype(np.float32)
+    out = np.asarray(
+        spmm_block(bcoo, jnp.asarray(w.reshape(bcoo.n_pairs, T)),
+                   jnp.asarray(h), interpret=True)
+    )
+    ref = np.zeros_like(h)
+    np.add.at(ref, sdst[smask], h[ssrc[smask]] * w[smask][:, None])
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_rcm_ordering_improves_fill():
+    from mdcommunity_tpu.graphs.ordering import apply_order, bandwidth, rcm_order
+
+    rng = np.random.default_rng(4)
+    n = 4096
+    scramble = rng.permutation(n)
+    u = np.arange(n)
+    ring_s, ring_d = scramble[u], scramble[(u + 1) % n]
+    assert bandwidth(ring_s, ring_d) > 512
+    perm = rcm_order([ring_s], [ring_d], n)
+    s2, d2 = apply_order(perm, ring_s, ring_d)
+    assert bandwidth(s2, d2) <= 8
+    b1, *_ = build_block_coo(ring_s, ring_d, n, 512, 512)
+    b2, *_ = build_block_coo(s2, d2, n, 512, 512)
+    assert b2.n_pairs < b1.n_pairs  # fewer pair chunks = higher fill
