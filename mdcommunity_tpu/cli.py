@@ -234,8 +234,37 @@ def main(argv=None):
     cf.add_argument("--seed", type=int, default=0)
     cf.set_defaults(fn=cmd_check_features)
 
+    _register_draw(sub)
+
     args = p.parse_args(argv)
     args.fn(args)
+
+
+
+
+def _register_draw(sub):
+    def cmd_draw(args):
+        from mdcommunity_tpu.eval.plots import plot_lmcc_curves
+
+        curves = {}
+        for spec in args.curves:
+            label, path = spec.split("=", 1)
+            curves[label] = path
+        plot_lmcc_curves(
+            curves, args.output, title=args.title, weighted=args.weighted
+        )
+        print(f"wrote {args.output}")
+
+    d = sub.add_parser(
+        "draw", help="LMCC-curve comparison plot (reference drawLmcc)"
+    )
+    d.add_argument("curves", nargs="+",
+                   help="label=NormalizedLMCC_file.txt pairs")
+    d.add_argument("-o", "--output", required=True)
+    d.add_argument("--title", default="")
+    d.add_argument("--weighted", action="store_true",
+                   help="x axis is cumulative cost (drawWeight)")
+    d.set_defaults(fn=cmd_draw)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ import numpy as np
 from mdcommunity_tpu.eval.metrics import dismantle_greedy
 from mdcommunity_tpu.eval.writers import (
     append_time_audc,
+    write_cost_curve,
     write_lmcc_curve,
     write_solution,
 )
@@ -47,6 +48,7 @@ def evaluate_real(
 
     path = os.path.join(data_path, fname)
     g = load_real_duplex(path, n_nodes, layers, degree_cost=(variant == "degree_cost"))
+    g_orig = g  # original-id graph (the blocked path relabels nodes)
 
     perm = None
     if n_nodes > blocked_threshold and variant in ("unit_cost", "degree_cost"):
@@ -85,6 +87,12 @@ def evaluate_real(
         score_mean=score,
         score_std=0.0,
     )
+    if variant == "degree_cost":
+        # sol is in original ids at this point; use original-id weights
+        write_cost_curve(
+            os.path.join(sub, f"Cost_{tag}.txt"),
+            np.asarray(g_orig.weights), sol, n_nodes, score,
+        )
     append_time_audc(
         os.path.join(save_dir, "time&audc_real.csv"), dataset, solve_time, score
     )

@@ -176,6 +176,107 @@ def _batched_bridge_bonus(g, state, actions, tau=0.5):
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_steps", "variant", "degree_cost", "ce_prune",
+                     "hca_bridge", "hca_beta", "hca_tau"),
+)
+def rollout_chunk(
+    params,
+    g: DuplexGraph,
+    state: EnvState,
+    key,
+    eps,
+    n_steps: int = 8,
+    variant: str = "unit_cost",
+    degree_cost: bool = False,
+    ce_prune: bool = False,
+    hca_bridge: bool = False,
+    hca_beta: float = 0.5,
+    hca_tau: float = 0.5,
+):
+    """n_steps eps-greedy env steps as ONE device program (lax.scan): the whole
+    history comes back in a single host transfer instead of one round trip per
+    step (through the TPU relay each trip is ~30 ms).  Terminal envs freeze
+    (env_step is a masked no-op), so chunks can overrun episode ends; the host
+    slices episodes out of the history (play_games).
+
+    Returns (final_state, history dict of [n_steps, B] arrays).
+    """
+    from mdcommunity_tpu.env.env import batched_random_actions
+
+    def step(carry, key_s):
+        state = carry
+        kq, ka = jax.random.split(key_s)
+        q = predict_q(params, g, state.covered, state.sever, variant)
+        if ce_prune:
+            from mdcommunity_tpu.env.env import prune_q_to_boundary
+
+            q = prune_q_to_boundary(q, g.boundary)
+        greedy = jnp.argmax(q, axis=1)
+        rand = batched_random_actions(g, state, ka, boundary_first=ce_prune)
+        # one exploration draw for the whole vector of envs per step,
+        # as in the reference's Run_simulator (:200-208)
+        actions = jnp.where(jax.random.uniform(kq) >= eps, greedy, rand)
+        if hca_bridge:
+            bonus = _batched_bridge_bonus(g, state, actions, hca_tau)
+        else:
+            bonus = 0.0
+        was_terminal = state.terminal
+        new_state, rewards = batched_step(g, state, actions, degree_cost)
+        rewards = rewards + (hca_beta * bonus if hca_bridge else 0.0)
+        out = dict(
+            actions=actions,
+            rewards=rewards,
+            covered=new_state.covered,
+            sever=new_state.sever,
+            valid=~was_terminal,
+            terminal=new_state.terminal,
+        )
+        return new_state, out
+
+    keys = jax.random.split(key, n_steps)
+    final_state, hist = jax.lax.scan(step, state, keys)
+    return final_state, hist
+
+
+@partial(
+    jax.jit,
+    static_argnames=("variant", "ce_prune", "degree_cost", "max_steps"),
+)
+def greedy_rollout(
+    params,
+    g: DuplexGraph,
+    state: EnvState,
+    variant: str = "unit_cost",
+    ce_prune: bool = False,
+    degree_cost: bool = False,
+    max_steps: int = 0,
+):
+    """Roll every env to terminal with greedy argmax actions as ONE device
+    program (lax.while_loop) — the validation sweep (reference Test :738-755)
+    without a host round trip per step."""
+    max_steps = max_steps or g.node_mask.shape[-1]
+
+    def cond(carry):
+        state, step = carry
+        return (step < max_steps) & ~jnp.all(state.terminal)
+
+    def body(carry):
+        state, step = carry
+        q = predict_q(params, g, state.covered, state.sever, variant)
+        if ce_prune:
+            from mdcommunity_tpu.env.env import prune_q_to_boundary
+
+            q = prune_q_to_boundary(q, g.boundary)
+        actions = jnp.argmax(q, axis=1)
+        state, _ = batched_step(g, state, actions, degree_cost)
+        return state, step + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return state
+
+
 # ---------------------------------------------------------------------------
 # the agent
 # ---------------------------------------------------------------------------
@@ -315,6 +416,8 @@ class DQNAgent:
             self.gen_new_graphs()
         if self._env_state is None:
             self._reset_envs()
+        ce_prune = self.cfg.variant == "ce" and self.cfg.action_pruning_train
+        hca_bridge = self.cfg.variant == "hca" and self.cfg.hca_bridge_effective
         done = 0
         guard = 0
         term = np.asarray(self._env_state.terminal)
@@ -336,49 +439,27 @@ class DQNAgent:
                 term = np.asarray(self._env_state.terminal)
                 continue
 
-            ce_prune = self.cfg.variant == "ce" and self.cfg.action_pruning_train
-            if self.nprng.uniform() >= eps:
-                q = predict_q(
-                    self.params, self._env_graphs, self._env_state.covered,
-                    self._env_state.sever, self.cfg.variant,
-                )
-                if ce_prune:
-                    from mdcommunity_tpu.env.env import prune_q_to_boundary
-
-                    q = prune_q_to_boundary(q, self._env_graphs.boundary)
-                actions = jnp.argmax(q, axis=1)
-            else:
-                from mdcommunity_tpu.env.env import batched_random_actions
-
-                self.key, k = jax.random.split(self.key)
-                actions = batched_random_actions(
-                    self._env_graphs, self._env_state, k, boundary_first=ce_prune
-                )
-
-            if self.cfg.variant == "hca" and self.cfg.hca_bridge_effective:
-                bonus = _batched_bridge_bonus(
-                    self._env_graphs, self._env_state, actions, self.cfg.hca_tau
-                )
-            else:
-                bonus = None
-            new_state, rewards = batched_step(
-                self._env_graphs, self._env_state, actions, self.degree_cost
+            # K env steps as one device program + ONE host transfer
+            self.key, k = jax.random.split(self.key)
+            new_state, hist = rollout_chunk(
+                self.params, self._env_graphs, self._env_state, k,
+                jnp.float32(eps),
+                n_steps=self.cfg.rollout_chunk,
+                variant=self.cfg.variant,
+                degree_cost=self.degree_cost,
+                ce_prune=ce_prune,
+                hca_bridge=hca_bridge,
+                hca_beta=self.cfg.hca_beta,
+                hca_tau=self.cfg.hca_tau,
             )
-            if bonus is not None:
-                rewards = rewards + self.cfg.hca_beta * bonus
-            # ONE host transfer per step (through the TPU relay each fetch is
-            # a full round trip, so the four arrays + next loop's terminal
-            # flags come back together)
-            acts_np, rew_np, cov_np, sev_np, term = jax.device_get(
-                (actions, rewards, new_state.covered, new_state.sever,
-                 new_state.terminal)
-            )
-            for i in range(self.cfg.num_env):
-                t = self._traj[i]
-                t["actions"].append(int(acts_np[i]))
-                t["rewards"].append(float(rew_np[i]))
-                t["covered"].append(cov_np[i])
-                t["sever"].append(sev_np[i])
+            hist, term = jax.device_get((hist, new_state.terminal))
+            for s in range(hist["actions"].shape[0]):
+                for i in np.nonzero(hist["valid"][s])[0]:
+                    t = self._traj[i]
+                    t["actions"].append(int(hist["actions"][s, i]))
+                    t["rewards"].append(float(hist["rewards"][s, i]))
+                    t["covered"].append(hist["covered"][s, i])
+                    t["sever"].append(hist["sever"][s, i])
             self._env_state = new_state
 
     # -- fitting ---------------------------------------------------------------
@@ -422,30 +503,45 @@ class DQNAgent:
         return loss
 
     # -- evaluation ------------------------------------------------------------
-    def validate(self) -> float:
+    def validate(self, return_extras: bool = False):
         """Mean normalized dismantling cost over the validation pool: batched
-        greedy rollout (reference Test :738-755, score + remaining/(max_rank·N))."""
+        greedy rollout (reference Test :738-755, score + remaining/(max_rank·N)).
+
+        With return_extras, also returns the CE variant's per-graph LMCC
+        diagnostics (reference Test(return_lmcc=True) :913-951): lmcc_final =
+        final rank/max_rank, audc = mean of the per-step normalized-LMCC curve."""
         g = self.valid_pool.stacked
         state = batched_reset(g)
-        n = len(self.valid_pool)
-        max_steps = self.cfg.pad_nodes
         ce_prune = self.cfg.variant == "ce" and self.cfg.action_pruning_test
-        for _ in range(max_steps):
-            if bool(jnp.all(state.terminal)):
-                break
-            q = predict_q(self.params, g, state.covered, state.sever, self.cfg.variant)
-            if ce_prune:
-                from mdcommunity_tpu.env.env import prune_q_to_boundary
-
-                q = prune_q_to_boundary(q, g.boundary)
-            actions = jnp.argmax(q, axis=1)
-            state, _ = batched_step(g, state, actions, self.degree_cost)
+        state = greedy_rollout(
+            self.params, g, state, variant=self.cfg.variant,
+            ce_prune=ce_prune, degree_cost=self.degree_cost,
+        )
         covered_cnt = jnp.sum(state.covered & g.node_mask, axis=1)
         remain = g.n_nodes - covered_cnt
-        score = state.score + remain.astype(jnp.float32) / (
-            g.max_rank.astype(jnp.float32) * g.n_nodes.astype(jnp.float32)
+        max_rank = g.max_rank.astype(jnp.float32)
+        n_f = g.n_nodes.astype(jnp.float32)
+        score = state.score + remain.astype(jnp.float32) / (max_rank * n_f)
+        if not return_extras:
+            return float(jnp.mean(score))
+        lmcc_final = state.rank.astype(jnp.float32) / max_rank
+        audc = state.score * n_f / jnp.maximum(covered_cnt.astype(jnp.float32), 1.0)
+        return float(jnp.mean(score)), np.asarray(lmcc_final), np.asarray(audc)
+
+    def _ce_prior_diagnostics(self) -> str:
+        """CE-PRIOR line (reference :671-677): mean boundary-node ratio and mean
+        per-layer prior feature over the validation pool."""
+        g = self.valid_pool.stacked
+        nm = np.asarray(g.node_mask)
+        n = np.maximum(nm.sum(1), 1)
+        bratio = float(np.mean(np.asarray(g.boundary).sum(1) / n))
+        feat = np.asarray(g.node_feat)  # [B, 2, N]
+        f0 = float(np.mean(feat[:, 0].sum(1) / n))
+        f1 = float(np.mean(feat[:, 1].sum(1) / n))
+        return (
+            f"CE-PRIOR feature={self.cfg.comm_prior_feature} "
+            f"boundary_ratio_mean={bratio:.6f} feat_mean=[{f0:.6f},{f1:.6f}]"
         )
-        return float(jnp.mean(score))
 
     # -- persistence -----------------------------------------------------------
     # Full-state checkpoints (params + target + optimizer + RNG), a true-resume
@@ -557,7 +653,10 @@ class DQNAgent:
                     self.play_games(10, eps)
                 if it % cfg.save_frequency == 0:
                     t0 = time.time()
-                    frac = self.validate()
+                    if cfg.variant == "ce":
+                        frac, lmcc_final, audc = self.validate(return_extras=True)
+                    else:
+                        frac = self.validate()
                     if frac < best:
                         best = frac
                         self.save(os.path.join(save_dir, "best_model.ckpt"))
@@ -568,6 +667,16 @@ class DQNAgent:
                         f"(valid {time.time()-t0:.1f}s, window "
                         f"{time.perf_counter()-t_window:.1f}s)"
                     )
+                    if cfg.variant == "ce":
+                        # reference LMCC-DEBUG / CE-PRIOR lines (:636-677)
+                        log(
+                            "LMCC-DEBUG "
+                            f"mean_final={float(np.mean(lmcc_final)):.6f} "
+                            f"var_final={float(np.var(lmcc_final)):.6f} "
+                            f"mean_audc={float(np.mean(audc)):.6f} "
+                            f"var_audc={float(np.var(audc)):.6f}"
+                        )
+                        log(self._ce_prior_diagnostics())
                     t_window = time.perf_counter()
                     self.save(os.path.join(save_dir, "latest.ckpt"))
                     self.save(
@@ -584,3 +693,17 @@ class DQNAgent:
             self.save(os.path.join(save_dir, "latest.ckpt"))
             vc_out.close()
         return save_dir
+
+
+def find_model(save_dir: str, num_min: int = 30, num_max: int = 50,
+               save_frequency: int = 1000, burn_in: int = 33) -> str:
+    """Select the checkpoint at the argmin of the validation-cost curve after a
+    burn-in (reference findModel :551-560; its 500-iter spacing is
+    save_frequency here).  Falls back to burn_in=0 for short runs."""
+    vc_file = os.path.join(save_dir, f"ModelVC_{num_min}_{num_max}.csv")
+    vc = [float(line) for line in open(vc_file)]
+    if len(vc) <= burn_in:
+        burn_in = 0
+    best_row = burn_in + int(np.argmin(np.asarray(vc[burn_in:])))
+    it = best_row * save_frequency
+    return os.path.join(save_dir, f"nrange_{num_min}_{num_max}_iter_{it}.ckpt")

@@ -62,6 +62,8 @@ class Config:
     n_train: int = 1000               # training pool size
     n_valid: int = 200                # validation pool size
     num_env: int = 32                 # parallel envs (reference: 1; we vectorize)
+    rollout_chunk: int = 8            # env steps per on-device scan chunk (one
+                                      # host transfer per chunk, not per step)
 
     # ---- padding (static shapes for jit) ------------------------------------
     # max nodes / max *directed* edges per layer after padding. 0 = derive.
