@@ -80,13 +80,20 @@ def cmd_test_synthetic(args):
     _setup_jax(args.cpu)
     from mdcommunity_tpu.eval.synthetic import (
         evaluate_synthetic_generated,
+        evaluate_synthetic_sweep,
         write_result_rows,
     )
 
     params = _load_params(args.model)
-    rows = evaluate_synthetic_generated(
-        params, sizes=args.sizes, n_graphs=args.n_graphs, variant=args.variant,
-    )
+    if args.sweep_param:
+        rows = evaluate_synthetic_sweep(
+            params, args.sweep_param, args.sweep_values,
+            size=args.sizes[0], n_graphs=args.n_graphs, variant=args.variant,
+        )
+    else:
+        rows = evaluate_synthetic_generated(
+            params, sizes=args.sizes, n_graphs=args.n_graphs, variant=args.variant,
+        )
     out = args.output or f"./result_synthetic_{args.variant}.txt"
     write_result_rows(out, rows, args.variant)
     for r in rows:
@@ -202,6 +209,11 @@ def main(argv=None):
     s.add_argument("--n-graphs", type=int, default=20)
     s.add_argument("--variant", default="unit_cost")
     s.add_argument("-o", "--output", default=None)
+    s.add_argument("--sweep-param", default=None, choices=["g", "gamma", "k"],
+                   help="sweep a generator parameter instead of sizes "
+                        "(reference data_g/data_gamma/data_k)")
+    s.add_argument("--sweep-values", type=float, nargs="*",
+                   default=[0.1, 0.3, 0.5, 0.7, 0.9])
     s.set_defaults(fn=cmd_test_synthetic)
 
     b = sub.add_parser("baseline")

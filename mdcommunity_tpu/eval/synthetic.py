@@ -100,3 +100,34 @@ def write_result_rows(path: str, rows: List[dict], variant: str):
                 f"{r['size']} {r['score_mean']:.8f}±{r['score_std']:.8f} "
                 f"time {r['time_mean']:.4f}s cost {r['cost_mean']:.6f}\n"
             )
+
+
+def evaluate_synthetic_sweep(
+    params,
+    sweep_param: str,
+    values: List[float],
+    size: int = 128,
+    n_graphs: int = 20,
+    variant: str = "unit_cost",
+    seed: int = 0,
+) -> List[dict]:
+    """Sweep one GMM generator parameter (the reference's data_g / data_gamma /
+    data_k dataset families, testSynthetic.py:14-39): angular correlation g,
+    degree exponent gamma, or mean degree k̄.  One result row per value."""
+    assert sweep_param in ("g", "gamma", "k")
+    rows = []
+    for v in values:
+        kw = dict(g_corr=0.5, gamma=2.5, kbar=None)
+        if sweep_param == "g":
+            kw["g_corr"] = v
+        elif sweep_param == "gamma":
+            kw["gamma"] = v
+        else:
+            kw["kbar"] = v
+        (row,) = evaluate_synthetic_generated(
+            params, [size], n_graphs=n_graphs, variant=variant,
+            seed=seed, **kw,
+        )
+        row[sweep_param] = v
+        rows.append(row)
+    return rows
