@@ -182,7 +182,17 @@ def cmd_check_features(args):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="mdcommunity_tpu")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
-    sub = p.add_subparsers(dest="cmd", required=True)
+    # --cpu also accepted after the subcommand
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--cpu", action="store_true", help="force CPU backend")
+    _sub = p.add_subparsers(dest="cmd", required=True)
+
+    class _Sub:
+        def add_parser(self, name, **kw):
+            kw.setdefault("parents", []).append(common)
+            return _sub.add_parser(name, **kw)
+
+    sub = _Sub()
 
     t = sub.add_parser("train")
     t.add_argument("--variant", default="unit_cost",

@@ -117,7 +117,13 @@ def _embed(params: Params, g: DuplexGraph, inputs: BatchInputs, max_bp_iter: int
     """
     node_embs = []
     virt_embs = []
-    ones_feat = jnp.ones((inputs.node_input.shape[-1],), jnp.float32)
+    # virtual-node input: ones on the two degree channels, zero on any extra
+    # prior channel (reference: unit/degree y_node_input = ones[2]; CE =
+    # [1, 1, 0], CEMultiDismantler/MultiDismantler_net_graphsage.py:102-108)
+    f_dim = inputs.node_input.shape[-1]
+    ones_feat = jnp.concatenate(
+        [jnp.ones((2,), jnp.float32), jnp.zeros((f_dim - 2,), jnp.float32)]
+    )
     for l in range(2):
         x = inputs.node_input[:, l]  # [B, N, F]
         h = l2_normalize(jax.nn.relu(x @ params["w_n2l"]))

@@ -179,3 +179,50 @@ def reference_predict(ns, net, nx_g1, nx_g2, covered: list):
         out[k] = -np.inf
     assert pos == len(raw)
     return out, np.array(pbg.aux_feat), env.remove_edge
+
+
+CE_DIR = "/root/reference/code/CEMultiDismantler"
+
+
+def reference_predict_ce(ns, net, nx_g1, nx_g2, prior, covered: list):
+    """CE variant Q-values: g carries node_comm_feat = [feat0, feat1] (the
+    static Louvain prior); the net consumes PrepareBatchGraph.node_feat [2,n,1]
+    plus dense adj/v_adj for the degree channels."""
+    import numpy as np
+    import torch
+
+    g = ns.graph.Graph_test(nx_g1.copy(), nx_g2.copy())
+    g.node_comm_feat = [
+        np.asarray(prior[0], np.float32), np.asarray(prior[1], np.float32)
+    ]
+    env = ns.mvc_env.MvcEnv(50)
+    env.s0(g)
+    for a in covered:
+        env.stepWithoutReward(a)
+
+    pbg = ns.PrepareBatchGraph.PrepareBatchGraph(0)
+    pbg.SetupPredAll([0], [g], [env.action_list], [env.remove_edge])
+    idx_map = [it[0] for it in pbg.idx_map_list][0]
+
+    with torch.no_grad():
+        q = net.test_forward(
+            node_input=None,
+            subgsum_param=pbg.subgsum_param,
+            n2nsum_param=pbg.n2nsum_param,
+            rep_global=pbg.rep_global,
+            aux_input=torch.tensor(np.array(pbg.aux_feat), dtype=torch.float32),
+            node_feat=torch.tensor(np.array(pbg.node_feat), dtype=torch.float32),
+            adj=pbg.adj,
+            v_adj=pbg.virtual_adj,
+        )
+    raw = q[:, 0].numpy()
+    out = np.full(g.num_nodes, -np.inf)
+    pos = 0
+    for k in range(len(idx_map)):
+        if idx_map[k] >= 0:
+            out[k] = raw[pos]
+            pos += 1
+    for k in env.action_list:
+        out[k] = -np.inf
+    assert pos == len(raw)
+    return out, np.array(pbg.aux_feat), env.remove_edge
