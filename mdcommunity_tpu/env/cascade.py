@@ -163,3 +163,13 @@ def intact_max_rank(g: DuplexGraph) -> jnp.ndarray:
 @jax.jit
 def _jitted_intact(g, covered):
     return cascade(g, covered, jnp.zeros_like(g.edge_mask)).rank
+
+
+@jax.jit
+def batched_intact_max_rank(g_batch) -> jnp.ndarray:
+    """Intact LMCCs for a stacked graph batch in one call: int32[B]."""
+    return jax.vmap(
+        lambda g: cascade(
+            g, jnp.zeros(g.node_mask.shape[-1], bool), jnp.zeros_like(g.edge_mask)
+        ).rank
+    )(g_batch)

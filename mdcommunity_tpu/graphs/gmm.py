@@ -177,14 +177,15 @@ def generate_training_graph(
         from mdcommunity_tpu.graphs.community import duplex_prior
 
         node_feat, boundary = duplex_prior(n, e0, e1, prior_feature)
-    g = build_duplex(
+    # max_rank=0 placeholder: generate_pool computes intact LMCCs for the whole
+    # candidate batch in ONE device call (a per-graph rank sync costs a full
+    # host round trip each — ~30 ms through the TPU relay)
+    return build_duplex(
         n, e0, e1, pad_nodes, pad_edges,
         weights=weights, node_feat=node_feat, boundary=boundary,
         comm_id=comm_id, n_comms=n_comms, hca_feat=hca_feat,
+        max_rank=0,
     )
-    if int(g.max_rank) <= 1:
-        return None
-    return g
 
 
 def _degree_weights(n: int, e0: np.ndarray, e1: np.ndarray) -> np.ndarray:
@@ -211,13 +212,37 @@ def generate_pool(
     degree_cost: bool = False,
     prior_feature: str = "none",
 ) -> List:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mdcommunity_tpu.env.cascade import batched_intact_max_rank
+    from mdcommunity_tpu.graphs.duplex import stack_graphs
+
     out = []
     attempts = 0
     while len(out) < count and attempts < count * 20:
-        attempts += 1
-        g = generate_training_graph(
-            rng, num_min, num_max, pad_nodes, pad_edges, degree_cost, prior_feature
-        )
-        if g is not None:
-            out.append(g)
+        batch = []
+        while len(batch) < count - len(out) and attempts < count * 20:
+            attempts += 1
+            g = generate_training_graph(
+                rng, num_min, num_max, pad_nodes, pad_edges, degree_cost,
+                prior_feature,
+            )
+            if g is not None:
+                batch.append(g)
+        if not batch:
+            break
+        # one device call + one transfer for the whole candidate batch;
+        # pad to a fixed batch size so retry rounds reuse the same executable
+        padded = batch + [batch[0]] * (count - len(batch))
+        ranks = np.asarray(batched_intact_max_rank(stack_graphs(padded)))[
+            : len(batch)
+        ]
+        for g, r in zip(batch, ranks):
+            if r > 1:  # reference rejects trivially-dismantled graphs :157-160
+                out.append(
+                    dataclasses.replace(g, max_rank=jnp.asarray(int(r), jnp.int32))
+                )
     return out
