@@ -25,6 +25,17 @@ top-k over ALL communities of a training minibatch jointly (information leaks
 across unrelated graphs); we compute them per graph, which coincides for the
 B=1 evaluation path.  active nodes = all uncovered nodes (HCA keeps isolated
 survivors, PrepareBatchGraph :49-58).
+
+Reference-bug note (intent implemented, bug not replicated): the reference
+populates community membership BEFORE sequential node indices are assigned —
+at that point get_status_info has set idx_map to 0 for every uncovered node
+(PrepareBatchGraph.py:53-57), so `global_node_id = curr_node_cnt + idx_map[u]`
+collapses every member of every community onto node 0 (:178-200 vs the
+reassignment at :227-232).  The degenerate membership matrix would pool only
+node 0's embedding into each community; we build the true membership the
+surrounding code and paper clearly intend.  Similarly, the bridge-reward gate
+compares against an f_het value that is never updated after construction
+(mvc_env.py:294-297) — see Config.hca_bridge_effective for both semantics.
 """
 
 from __future__ import annotations
