@@ -110,3 +110,81 @@ def audc_from_curve(curve: List[float], n: int) -> float:
 def validation_score(score: float, n: int, covered: int, max_rank: int) -> float:
     """Reference Test() metric: rollout score + untouched-node tail."""
     return score + (n - covered) / (max_rank * n)
+
+
+def solution_robustness(g: DuplexGraph, solution: List[int]):
+    """Score a full removal order by replaying it against the cascade
+    (reference: Utils.getRobustness, utils.py:53-97 — which rebuilds the duplex
+    in reverse insertion order; replaying forward over the same order visits
+    identical states).  Returns (score = AUDC, normalized-LMCC curve)."""
+    gb = stack_graphs([g])
+    state = batched_reset(gb)
+    curve = []
+    max_rank = float(g.max_rank)
+    for a in solution:
+        if bool(state.terminal[0]):
+            break
+        state, _ = batched_step(gb, state, jnp.asarray([int(a)]))
+        curve.append(float(state.rank[0]) / max_rank)
+    return float(state.score[0]), curve
+
+
+def reinsert_solution(
+    g: DuplexGraph, solution: List[int], each_step: int = 1
+) -> List[int]:
+    """Greedy reinsertion post-processing (reference: Utils.reInsert
+    :12-51, shipped without its decrease-strategy object or any caller; the
+    strategy implemented here is the standard component-merge count): starting
+    from the dismantled graph, repeatedly re-add the removed nodes that merge
+    the fewest components (union of both layers), then return the reversed
+    insertion order as the improved removal order."""
+    import numpy as np
+
+    n = int(g.n_nodes)
+    src = np.asarray(g.src)
+    dst = np.asarray(g.dst)
+    em = np.asarray(g.edge_mask)
+    # union adjacency over both layers
+    adj = [[] for _ in range(n)]
+    for l in range(2):
+        for s, d in zip(src[l][em[l]], dst[l][em[l]]):
+            adj[int(s)].append(int(d))
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    present = np.zeros(n, bool)
+    keep = [v for v in range(n) if v not in set(solution)]
+    for v in keep:
+        present[v] = True
+    for v in keep:
+        for u in adj[v]:
+            if present[u]:
+                ra, rb = find(v), find(u)
+                if ra != rb:
+                    parent[ra] = rb
+
+    left = list(dict.fromkeys(int(v) for v in solution))
+    inserted = []
+    while left:
+        scored = []
+        for v in left:
+            roots = {find(u) for u in adj[v] if present[u]}
+            scored.append((len(roots), v))
+        scored.sort()
+        for _, v in scored[:each_step]:
+            left.remove(v)
+            inserted.append(v)
+            present[v] = True
+            for u in adj[v]:
+                if present[u]:
+                    ra, rb = find(v), find(u)
+                    if ra != rb:
+                        parent[ra] = rb
+    inserted.reverse()
+    return inserted

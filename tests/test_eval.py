@@ -128,3 +128,25 @@ def test_analysis_report(tmp_path):
     df = comparison_report(str(a), str(b), str(tmp_path / "report.csv"))
     assert len(df) == 2
     assert df["audc_delta_pct"].iloc[0] == pytest.approx(25.0)
+
+
+def test_solution_robustness_matches_heuristic_score(rng):
+    from mdcommunity_tpu.eval.baselines import heuristic_dismantle
+    from mdcommunity_tpu.eval.metrics import reinsert_solution, solution_robustness
+    from mdcommunity_tpu.graphs.gmm import generate_pool
+
+    (g,) = generate_pool(rng, 1, 30, 40, 64, 1024)
+    sol, score, curve = heuristic_dismantle(g, "degree", "max2")
+    score2, curve2 = solution_robustness(g, sol)
+    np.testing.assert_allclose(score2, score, rtol=1e-6)
+    np.testing.assert_allclose(curve2, curve[1:], rtol=1e-6)
+
+    # reinsertion returns a permutation of the solution and never scores worse
+    # than a random shuffle of it
+    better = reinsert_solution(g, sol)
+    assert sorted(better) == sorted(set(sol))
+    s_re, _ = solution_robustness(g, better)
+    shuffled = list(sol)
+    rng.shuffle(shuffled)
+    s_sh, _ = solution_robustness(g, shuffled)
+    assert s_re <= s_sh + 1e-6
