@@ -4,6 +4,7 @@ both).  This is the `allclose` requirement of BASELINE.md."""
 
 import glob
 
+import jax
 import jax.numpy as jnp
 import networkx as nx
 import numpy as np
@@ -124,3 +125,66 @@ def test_state_dict_round_trip():
     params2 = state_dict_to_params(sd)
     for k in ["w_n2l", "cross_product"]:
         np.testing.assert_array_equal(np.asarray(params[k]), np.asarray(params2[k]))
+
+
+def test_training_loss_matches_reference(refspace, rng):
+    """train_forward Q(s,a) + Laplacian reconstruction term vs the reference
+    calc_loss composition (:410-431) on one fixed state/action batch."""
+    import networkx as nx
+    import torch
+
+    from mdcommunity_tpu.env.batch import make_batch_inputs
+    from mdcommunity_tpu.graphs.duplex import build_duplex, stack_graphs
+    from mdcommunity_tpu.models.net import (
+        init_params,
+        laplacian_regularizer,
+        train_forward,
+    )
+    from mdcommunity_tpu.models.torch_convert import params_to_state_dict
+    from reference_harness import build_reference_net
+
+    ns = refspace
+    net = build_reference_net(ns)
+    params = init_params(jax.random.PRNGKey(11))
+    net.load_state_dict(params_to_state_dict(params))
+    net.eval()
+
+    n = 20
+    g1 = nx.gnp_random_graph(n, 0.2, seed=5)
+    g2 = nx.gnp_random_graph(n, 0.2, seed=6)
+    gref = ns.graph.Graph_test(g1.copy(), g2.copy())
+    action = 3
+
+    pbg = ns.PrepareBatchGraph.PrepareBatchGraph(0)
+    pbg.SetupTrain([0], [gref], [[]], [action], [[set(), set()]])
+    with torch.no_grad():
+        q_pred, cml = net.train_forward(
+            node_input=None,
+            subgsum_param=pbg.subgsum_param,
+            n2nsum_param=pbg.n2nsum_param,
+            action_select=pbg.act_select,
+            aux_input=torch.tensor(np.array(pbg.aux_feat), dtype=torch.float32),
+            adj=pbg.adj,
+            v_adj=pbg.virtual_adj,
+        )
+        recon_ref = 0.0
+        import torch_sparse as tsp
+
+        for l in range(2):
+            lp = pbg.laplacian_param[l]
+            lh = tsp.spmm(lp["index"], lp["value"], lp["m"], lp["n"], cml[l])
+            tr = 2 * torch.trace(cml[l].T @ lh)
+            edge_num = float(torch.sum(torch.as_tensor(
+                pbg.n2nsum_param[l]["value"])))
+            recon_ref += float(tr) / edge_num
+
+    g = build_duplex(n, list(g1.edges()), list(g2.edges()), 32, 256)
+    gb = stack_graphs([g])
+    covered = jnp.zeros((1, 32), bool)
+    sever = jnp.zeros((1, 2, 256), bool)
+    inputs = make_batch_inputs(gb, covered, sever, dense=True)
+    q_ours, h_f = train_forward(params, gb, inputs, jnp.asarray([action]))
+    recon_ours = float(laplacian_regularizer(h_f, gb, inputs))
+
+    np.testing.assert_allclose(float(q_ours[0]), float(q_pred[0, 0]), rtol=2e-4)
+    np.testing.assert_allclose(recon_ours, recon_ref, rtol=2e-3, atol=1e-5)
