@@ -282,8 +282,15 @@ def greedy_rollout(
 # ---------------------------------------------------------------------------
 
 class DQNAgent:
-    def __init__(self, cfg: Config, seed: Optional[int] = None):
+    """mesh: optional jax.sharding.Mesh with a 'dp' axis — replay batches,
+    rollout envs, and validation graphs are sharded over it and params
+    replicated, so fit/rollout/validate run data-parallel across chips with
+    XLA inserting the gradient all-reduce (parallel/mesh.py; multi-host via
+    parallel.mesh.init_distributed())."""
+
+    def __init__(self, cfg: Config, seed: Optional[int] = None, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         seed = cfg.seed if seed is None else seed
@@ -474,6 +481,26 @@ class DQNAgent:
             batch = self.replay.sample(self.nprng, self.cfg.batch_size)
             tree_idx, iw = None, None
         g = index_graphs(self.train_pool.stacked, jnp.asarray(batch.graph_ids))
+        if self.mesh is not None:
+            import dataclasses as _dc
+
+            from mdcommunity_tpu.parallel.mesh import replicate, shard_batch
+
+            g = shard_batch(self.mesh, g)
+            batch = _dc.replace(
+                batch,
+                **{
+                    f.name: shard_batch(
+                        self.mesh, jnp.asarray(getattr(batch, f.name))
+                    )
+                    for f in _dc.fields(batch)
+                },
+            )
+            if iw is not None:
+                iw = shard_batch(self.mesh, iw)
+            self.params = replicate(self.mesh, self.params)
+            self.target_params = replicate(self.mesh, self.target_params)
+            self.opt_state = replicate(self.mesh, self.opt_state)
         self.params, self.opt_state, loss, mse, recon, td = train_step(
             self.params,
             self.target_params,
@@ -511,6 +538,13 @@ class DQNAgent:
         diagnostics (reference Test(return_lmcc=True) :913-951): lmcc_final =
         final rank/max_rank, audc = mean of the per-step normalized-LMCC curve."""
         g = self.valid_pool.stacked
+        if self.mesh is not None:
+            from mdcommunity_tpu.parallel.mesh import replicate, shard_batch
+
+            dp = self.mesh.shape.get("dp", 1)
+            if len(self.valid_pool) % dp == 0:
+                g = shard_batch(self.mesh, g)
+                self.params = replicate(self.mesh, self.params)
         state = batched_reset(g)
         ce_prune = self.cfg.variant == "ce" and self.cfg.action_pruning_test
         state = greedy_rollout(

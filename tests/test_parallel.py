@@ -100,3 +100,49 @@ def test_graft_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_agent_mesh_training_matches_single_device():
+    """DQNAgent(mesh=...) fit/validate produce the same numbers as the
+    unsharded agent (same replay stream, same RNG)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mdcommunity_tpu.parallel.mesh import make_mesh
+    from mdcommunity_tpu.rl.dqn import DQNAgent
+    from mdcommunity_tpu.utils.config import Config
+
+    cfg = dataclasses.replace(
+        Config(variant="unit_cost").smoke,
+        batch_size=8, n_train=4, n_valid=4, num_env=4,
+        warmup_games=1, warmup_traj=4,
+    )
+    a = DQNAgent(cfg)
+    a.prepare_valid_data()
+    a.gen_new_graphs()
+    a.play_games(4, 1.0)
+    a.take_snapshot()
+
+    mesh = make_mesh(dp=4, gp=1, devices=jax.devices()[:4])
+    b = DQNAgent(cfg, mesh=mesh)
+    # identical state: copy pools, replay, params
+    b.valid_pool = a.valid_pool
+    b.train_pool = a.train_pool
+    b.replay = a.replay
+    b.params = jax.tree_util.tree_map(jnp.copy, a.params)
+    b.target_params = jax.tree_util.tree_map(jnp.copy, a.target_params)
+    b.opt_state = jax.tree_util.tree_map(jnp.copy, a.opt_state)
+    b.nprng = np.random.default_rng(123)
+    a.nprng = np.random.default_rng(123)
+
+    la = float(a.fit())
+    lb = float(b.fit())
+    np.testing.assert_allclose(lb, la, rtol=1e-5)
+    np.testing.assert_allclose(b.validate(), a.validate(), rtol=1e-5)
+    # adam's eps-divided update amplifies all-reduce reassociation noise on
+    # near-zero second moments; equivalence is up to float reassociation
+    diffs = jax.tree_util.tree_map(
+        lambda x, y: float(jnp.abs(x - y).max()), a.params, b.params)
+    md = max(jax.tree_util.tree_leaves(diffs))
+    assert md < 1e-3, (md, diffs)
