@@ -293,6 +293,11 @@ class DQNAgent:
         self.mesh = mesh
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        if cfg.dtype == "bfloat16":
+            # keep f32 params/activations but run MXU passes at bf16 rate
+            # (embedding widths are 64: quantization noise ~2^-8 per matmul,
+            # well inside the DQN's tolerance; full f32 stays the default)
+            jax.config.update("jax_default_matmul_precision", "bfloat16")
         seed = cfg.seed if seed is None else seed
         self.nprng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
