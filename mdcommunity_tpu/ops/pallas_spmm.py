@@ -149,16 +149,20 @@ def build_block_coo(
 # ---------------------------------------------------------------------------
 
 def _hilo_pack(x_f32):
-    """f32[N, D] -> bf16[N, 2D] = [hi | lo] (classic bf16x2 decomposition).
+    """f32[N, D] -> f32[N, 2D] = [hi | lo] (bf16x2 decomposition), each half
+    exactly bf16-representable but STORED AS f32.
 
-    A one-hot matmul against the packed operand gathers BOTH parts in one
-    bf16-rate MXU pass with f32 accumulation; summing the two lane halves of
-    the product reconstructs the f32 rows to ~2^-16 relative error.  Compared
-    to two sequential hi/lo matmuls this halves the MXU passes per pair and
-    moves the feature block at bf16 width (half the DMA bytes).
+    A one-hot matmul against the packed operand (cast to bf16 in-kernel — an
+    exact cast) gathers BOTH parts in one bf16-rate MXU pass with f32
+    accumulation; summing the two lane halves of the product reconstructs the
+    f32 rows to ~2^-16 relative error.  Compared to two sequential hi/lo
+    matmuls this halves the MXU passes per pair.  The pack dtype must stay
+    f32: a bf16 VMEM scratch addressed with a dynamic buffer index hangs the
+    Mosaic DMA path (measured on v5e), so the bf16 narrowing happens after
+    the copy, not before.
     """
-    hi = x_f32.astype(jnp.bfloat16)
-    lo = (x_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi = x_f32.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x_f32 - hi
     return jnp.concatenate([hi, lo], axis=-1)
 
 
@@ -181,7 +185,7 @@ def _spmm_kernel(
     rowptr_ref,   # SMEM int32[n_blocks+1]   (scalar prefetch)
     srcblk_ref,   # SMEM int32[P]            (scalar prefetch)
     meta_ref,     # HBM  i32[P, 4, T]  rows: bitcast(w), lsrc, ldst, pad
-    h_ref,        # HBM  bf16[N_pad, 2D] hi|lo packed
+    h_ref,        # HBM  f32[N_pad, 2D] hi|lo packed (halves bf16-exact)
     out_ref,      # VMEM f32[S, D]  (blocked by grid)
     hblk, mbuf, acc, sems,
     *, S, T, D,
@@ -230,17 +234,22 @@ def _spmm_kernel(
         cols = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
         p_src = (ls.reshape(T, 1) == cols).astype(jnp.bfloat16)     # [T, S]
         gcat = jnp.dot(                                             # [T, 2D]
-            p_src, hblk[slot], preferred_element_type=jnp.float32
+            p_src, hblk[slot].astype(jnp.bfloat16),  # exact: halves are bf16 values
+            preferred_element_type=jnp.float32,
         )
-        msg = (gcat[:, :D] + gcat[:, D:]) * w_row.reshape(T, 1)     # [T, D] f32
+        # weight the packed halves directly (w·h = w·h_hi + w·h_lo is linear)
+        # and re-split to bf16: all tensors stay full 128-lane — no lane-64
+        # slicing inside the kernel
+        msgcat = gcat * w_row.reshape(T, 1)                         # [T, 2D] f32
+        m_hi = msgcat.astype(jnp.bfloat16)
+        m_lo = (msgcat - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         p_dst_t = (cols.T == ld).astype(jnp.bfloat16)               # [S, T]
-        acc[:] += jnp.dot(                                          # [S, 2D]
-            p_dst_t, _hilo_pack(msg), preferred_element_type=jnp.float32
-        )
+        acc[:] += jnp.dot(p_dst_t, m_hi, preferred_element_type=jnp.float32)
+        acc[:] += jnp.dot(p_dst_t, m_lo, preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(p0, p1, body, 0)
-    out_ref[:] = acc[:, :D] + acc[:, D:]
+    out_ref[:] = acc[:]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -267,36 +276,47 @@ def spmm_block(bcoo: BlockCOO, w: jnp.ndarray, h: jnp.ndarray, interpret: bool =
             pl.BlockSpec(memory_space=pltpu.HBM),  # h packed
         ],
         out_specs=pl.BlockSpec(
-            (S, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (S, 2 * D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, S, 2 * D), jnp.bfloat16),
+            pltpu.VMEM((2, S, 2 * D), jnp.float32),
             pltpu.VMEM((2, 4, T), jnp.int32),
             pltpu.VMEM((S, 2 * D), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = partial(_spmm_kernel, S=S, T=T, D=D)
-    out = pl.pallas_call(
+    out2 = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * S, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * S, 2 * D), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(bcoo.rowptr, bcoo.src_blk, meta, _hilo_pack(h))
+    out = out2[:, :D] + out2[:, D:]  # combine hi/lo halves (outside Mosaic)
     return out[:, :D0] if D != D0 else out
+
+
+def _onehot_dot(onehot_bf16, b_f32):
+    """Exact-one-hot x f32 matmul at bf16 MXU rate with ~f32 accuracy: the f32
+    side is split hi+lo bf16 (bf16x2), two full-rate passes, f32 accumulate."""
+    b_hi = b_f32.astype(jnp.bfloat16)
+    b_lo = (b_f32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi = jnp.dot(onehot_bf16, b_hi, preferred_element_type=jnp.float32)
+    lo = jnp.dot(onehot_bf16, b_lo, preferred_element_type=jnp.float32)
+    return hi + lo
 
 
 def _sddmm_kernel(
     srcblk_ref,   # SMEM int32[P] (scalar prefetch)
     dstblk_ref,   # SMEM int32[P] (scalar prefetch)
     meta_ref,     # HBM  i32[P, 4, T] rows: pad, lsrc, ldst, pad
-    h_ref, g_ref, # HBM  bf16[N_pad, 2D] hi|lo packed
+    h_ref, g_ref, # HBM  f32[N_pad, D]
     out_ref,      # VMEM f32[8, T] blocked over pair groups
     hblk, gblk, mbuf, sems,
     *, S, T, D,
 ):
     """8 pairs per program, double-buffered across them (three DMAs per pair:
-    packed H block, packed G block, edge metadata)."""
+    H block, G block, packed edge metadata)."""
     pg = pl.program_id(0)
 
     def copies(p, slot):
@@ -332,10 +352,9 @@ def _sddmm_kernel(
         cols = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
         p_src = (ls.reshape(T, 1) == cols).astype(jnp.bfloat16)
         p_dst = (ld.reshape(T, 1) == cols).astype(jnp.bfloat16)
-        hs = jnp.dot(p_src, hblk[slot], preferred_element_type=jnp.float32)
-        gd = jnp.dot(p_dst, gblk[slot], preferred_element_type=jnp.float32)
-        prod = (hs[:, :D] + hs[:, D:]) * (gd[:, :D] + gd[:, D:])    # [T, D]
-        out_ref[k, :] = jnp.sum(prod, axis=1)
+        hs = _onehot_dot(p_src, hblk[slot])                         # [T, D]
+        gd = _onehot_dot(p_dst, gblk[slot])                         # [T, D]
+        out_ref[k, :] = jnp.sum(hs * gd, axis=1)
         return 0
 
     jax.lax.fori_loop(0, 8, body, 0)
@@ -344,10 +363,10 @@ def _sddmm_kernel(
 @partial(jax.jit, static_argnames=("interpret",))
 def sddmm_block(bcoo: BlockCOO, h: jnp.ndarray, g: jnp.ndarray, interpret: bool = False):
     """dw[slot] = h[src_slot] · g[dst_slot] in pair layout [P, T] — the SDDMM
-    side of the SpMM VJP, same packed one-hot MXU trick."""
+    side of the SpMM VJP, same one-hot MXU trick."""
     S, T = bcoo.S, bcoo.T
     D0 = h.shape[-1]
-    D = ((D0 + 63) // 64) * 64
+    D = ((D0 + 127) // 128) * 128
     if D != D0:
         h = jnp.pad(h, ((0, 0), (0, D - D0)))
         g = jnp.pad(g, ((0, 0), (0, D - D0)))
@@ -357,13 +376,13 @@ def sddmm_block(bcoo: BlockCOO, h: jnp.ndarray, g: jnp.ndarray, interpret: bool 
         grid=(bcoo.n_pairs // 8,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # meta
-            pl.BlockSpec(memory_space=pltpu.HBM),  # h packed
-            pl.BlockSpec(memory_space=pltpu.HBM),  # g packed
+            pl.BlockSpec(memory_space=pltpu.HBM),  # h
+            pl.BlockSpec(memory_space=pltpu.HBM),  # g
         ],
         out_specs=pl.BlockSpec((8, T), lambda p, *_: (p, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, S, 2 * D), jnp.bfloat16),
-            pltpu.VMEM((2, S, 2 * D), jnp.bfloat16),
+            pltpu.VMEM((2, S, D), jnp.float32),
+            pltpu.VMEM((2, S, D), jnp.float32),
             pltpu.VMEM((2, 4, T), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
@@ -374,7 +393,7 @@ def sddmm_block(bcoo: BlockCOO, h: jnp.ndarray, g: jnp.ndarray, interpret: bool 
         out_shape=jax.ShapeDtypeStruct((bcoo.n_pairs, T), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bcoo.src_blk, bcoo.dst_blk, _edge_meta(bcoo), _hilo_pack(h), _hilo_pack(g))
+    )(bcoo.src_blk, bcoo.dst_blk, _edge_meta(bcoo), h, g)
 
 
 # ---------------------------------------------------------------------------
