@@ -1,11 +1,19 @@
 """Benchmark: sparse neighborhood-aggregation (SpMM) forward+backward edges/s/chip.
 
 This is BASELINE.json's north-star metric — the reference's hot kernel is
-torch_sparse.spmm on CUDA (net :139-377, loss :420); ours is the aggregation
-path in mdcommunity_tpu/ops.  The benchmark builds a random duplex-scale COO
-graph (2^20 nodes, 2^22 directed edges, 64-dim features — the embedding width
-of the model family), and times value_and_grad of a scalar loss through the
-SpMM, i.e. forward + both backward scatter/gathers.
+torch_sparse.spmm on CUDA (MultiDismantler_net_graphsage.py:139-377, loss
+MultiDismantler_torch.py:420); ours is the block-banded dense engine in
+mdcommunity_tpu/ops/dense_band.py (locality-ordered adjacency as block-band
+storage, aggregation = batched MXU matmuls, liveness as rank-1 scales).
+
+Workload: a 2^20-node layer of a locality-ordered duplex graph — circular
+power-law offsets with tail exponent 2.5, matching the GMM generator's
+connection kernel P(d) ~ d^(-1/T), T=0.4 (GMM.py:6-68 / Hyperbolic.py:101-117)
+after angular ordering — 2^23 directed (symmetrized) edges, 64-dim features
+(the model family's embedding width), 10% of nodes removed (mid-dismantling
+liveness mask).  Timed: value_and_grad of a scalar loss through the SpMM,
+i.e. forward + backward, K iterations chained inside one jit (a host sync via
+float() is the only reliable fence on this backend).
 
 vs_baseline: the reference publishes no edges/s number (it is a single-GPU
 Python capsule); the denominator 6.0e8 edges/s is a documented estimate of
@@ -21,47 +29,72 @@ import time
 import numpy as np
 
 
+def ring_powerlaw_edges(n, e, rng, alpha=2.5, scale=8.0):
+    """Directed edges with circular power-law offsets (locality-ordered
+    geometric graph surrogate; alpha matches GMM's T=0.4 tail)."""
+    src = rng.integers(0, n, e).astype(np.int64)
+    off = (scale * (rng.pareto(alpha, e) + 1.0)).astype(np.int64)
+    off = np.minimum(off, n // 2 - 1) * rng.choice(np.array([-1, 1]), e)
+    dst = (src + off) % n
+    return src, dst
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from mdcommunity_tpu.ops.spmm_csr import build_sorted_coo, spmm_sorted
+    from mdcommunity_tpu.ops.dense_band import (
+        build_dense_band,
+        live_scales,
+        spmm_dense_band,
+    )
 
-    n_nodes = 1 << 18
-    n_edges = 1 << 20
-    dim = 64
+    n, e, dim = 1 << 20, 1 << 22, 64
+    S, B = 256, 256
     baseline_edges_per_s = 6.0e8
+    K = 32
 
     rng = np.random.default_rng(0)
-    src_np = rng.integers(0, n_nodes, n_edges).astype(np.int32)
-    dst_np = rng.integers(0, n_nodes, n_edges).astype(np.int32)
-    coo = build_sorted_coo(src_np, dst_np, n_nodes)
-    w = jnp.asarray(rng.random(n_edges, dtype=np.float32))
-    h = jnp.asarray(rng.standard_normal((n_nodes, dim)).astype(np.float32))
+    src, dst = ring_powerlaw_edges(n, e, rng)
+    ssym = np.concatenate([src, dst])
+    dsym = np.concatenate([dst, src])
+    e2 = len(ssym)
+    dbg = build_dense_band(ssym, dsym, None, n, S=S, B=B, dtype=jnp.int8)
 
-    def loss(h, w):
-        out = spmm_sorted(coo, w, h)
-        return jnp.sum(out * out)
+    covered = jnp.asarray(rng.random(dbg.pad_n) < 0.1)
+    row, col = live_scales(dbg, covered, "sum")
+    h0 = jnp.asarray(rng.standard_normal((dbg.pad_n, dim)).astype(np.float32))
 
-    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    grad_step = jax.grad(
+        lambda x, dbg, row, col: jnp.sum(
+            jnp.square(spmm_dense_band(dbg, row, col, x))
+        )
+        * 1e-6
+    )
 
-    # warmup / compile
-    (l, grads) = step(h, w)
-    jax.block_until_ready(grads)
+    @jax.jit
+    def chain(dbg, row, col, h):
+        def body(i, x):
+            g = grad_step(x, dbg, row, col)
+            return x + g / (1.0 + jnp.float32(i))
 
-    # vary the input each iteration: identical dispatches can be cached by the
-    # remote-execution relay and report fantasy numbers
-    iters = 6
-    scales = [jnp.float32(1.0 + 0.01 * i) for i in range(iters)]
+        return jax.lax.fori_loop(0, K, body, h)
+
+    # compile + warm (result sync via host transfer; block_until_ready does
+    # not fence execution on the tunnel backend)
+    float(jnp.sum(chain(dbg, row, col, h0)))
+
+    nop = jax.jit(lambda x: x + 1.0)
     t0 = time.perf_counter()
-    outs = []
-    for s in scales:
-        l, grads = step(h * s, w)
-        outs.append(l)
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    for _ in range(5):
+        float(nop(jnp.float32(0)))
+    rtt = (time.perf_counter() - t0) / 5
 
-    edges_per_s = n_edges * iters / dt
+    t0 = time.perf_counter()
+    float(jnp.sum(chain(dbg, row, col, h0)))
+    t_iter = (time.perf_counter() - t0 - rtt) / K
+
+    edges_per_s = e2 / t_iter
     print(
         json.dumps(
             {

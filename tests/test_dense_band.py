@@ -122,3 +122,63 @@ def test_asymmetric_scale_grad(rng):
     np.testing.assert_allclose(
         np.asarray(dh), a_mean.T @ gcot.astype(np.float64), rtol=1e-4, atol=1e-4
     )
+
+
+def test_circular_seam_edges_in_band(rng):
+    """Ring-ordered graphs: edges across the index seam (src near n-1, dst
+    near 0) stay in-band via the circular window — zero overflow — and both
+    forward and grad match the dense oracle."""
+    n, S, B = 256, 128, 64  # n % S == 0 so the ring has no dead seam rows
+    u = np.arange(n)
+    ring1 = (u, (u + 1) % n)
+    ring7 = (u, (u + 7) % n)
+    seam = (np.array([n - 3, n - 1, n - 2]), np.array([2, 0, 5]))
+    src = np.concatenate([ring1[0], ring7[0], seam[0]])
+    dst = np.concatenate([ring1[1], ring7[1], seam[1]])
+    ssym = np.concatenate([src, dst])
+    dsym = np.concatenate([dst, src])
+    dbg = build_dense_band(ssym, dsym, None, n, S=S, B=B, dtype=jnp.float32)
+    assert int(dbg.overflow.d_src.shape[0]) == 0
+
+    h = rng.standard_normal((dbg.pad_n, 8)).astype(np.float32)
+    gcot = rng.standard_normal((dbg.pad_n, 8)).astype(np.float32)
+    ones = jnp.ones((dbg.pad_n,), jnp.float32)
+    out = spmm_dense_band(dbg, ones, ones, jnp.asarray(h), precise=True)
+    ref = _dense_a(ssym, dsym, dbg.pad_n) @ h.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+    def loss(h):
+        return jnp.vdot(
+            spmm_dense_band(dbg, ones, ones, h, precise=True), jnp.asarray(gcot)
+        )
+
+    dh = jax.grad(loss)(jnp.asarray(h))
+    np.testing.assert_allclose(
+        np.asarray(dh),
+        _dense_a(ssym, dsym, dbg.pad_n).T @ gcot.astype(np.float64),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_sever_overflow_and_band_edges(rng):
+    """sever_edges zeroes both band-stored and overflow-stored edges under
+    the circular symmetric classification."""
+    src, dst = _sym_graph(rng, 260, 700, 30, 15)
+    dbg = build_dense_band(src, dst, None, 260, S=128, B=64, dtype=jnp.float32)
+    assert int(dbg.overflow.d_src.shape[0]) > 0
+    # sever one overflow edge and one band edge, both directions
+    ov_s = int(np.asarray(dbg.overflow.d_src)[0])
+    ov_d = int(np.asarray(dbg.overflow.d_dst)[0])
+    band_idx = np.argmax(np.abs(src - dst) <= 8)
+    b_s, b_d = int(src[band_idx]), int(dst[band_idx])
+    sev_src = jnp.asarray([ov_s, ov_d, b_s, b_d], jnp.int32)
+    sev_dst = jnp.asarray([ov_d, ov_s, b_d, b_s], jnp.int32)
+    dbg2 = sever_edges(dbg, sev_src, sev_dst, jnp.ones(4, bool))
+
+    h = rng.standard_normal((dbg.pad_n, 4)).astype(np.float32)
+    ones = jnp.ones((dbg.pad_n,), jnp.float32)
+    out = np.asarray(spmm_dense_band(dbg2, ones, ones, jnp.asarray(h), precise=True))
+    a = _dense_a(src, dst, dbg.pad_n)
+    for s, d in [(ov_s, ov_d), (ov_d, ov_s), (b_s, b_d), (b_d, b_s)]:
+        a[d, s] = 0.0
+    np.testing.assert_allclose(out, a @ h.astype(np.float64), rtol=1e-4, atol=1e-4)
