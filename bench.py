@@ -50,7 +50,7 @@ def main():
     )
 
     n, e, dim = 1 << 20, 1 << 22, 64
-    S, B = 256, 256
+    S, B = 512, 128
     baseline_edges_per_s = 6.0e8
     K = 32
 

@@ -3,34 +3,46 @@
 TPU-native replacement for `torch_sparse.spmm` (reference hot kernel,
 MultiDismantler_net_graphsage.py:139-377): after locality ordering (RCM /
 angular order, graphs/ordering.py) a duplex layer's adjacency is banded, and a
-banded matrix IS a dense matrix in block-band storage:
-
-    base[i, r, c] = A[i*S + r, i*S - B + c]      (0 <= c < W2 = S + 2B)
-
-so neighborhood aggregation is one batched matmul per S-row block against a
-sliding H window assembled from three aligned blocks — no gathers, no
-scatters, no index compaction, MXU end to end.
+banded matrix IS a dense matrix in block-band storage: the window of dst
+block i covers source rows [i*S - B, i*S + S + B) mod pad_n (CIRCULAR over
+the padded ring, so S1/angular orderings need no seam special-case), and
+neighborhood aggregation is three batched matmuls per S-row block against
+aligned block views — no gathers, no scatters, no index compaction, MXU end
+to end.
 
 Key structural facts this design exploits:
 
   * Adjacency VALUES are never trained (the reference differentiates spmm
     only through H; values are graph constants) — backward is dh = A^T g
-    only, and A^T = A for the framework's symmetric undirected storage.
+    only, and A^T = A for the framework's symmetric undirected storage
+    (in-band classification is symmetric in both directions to preserve
+    this).
   * Every aggregator the reference uses (sum / mean / GCN-norm,
     PrepareBatchGraph.n2n_construct :236-245) is the 0/1 adjacency scaled by
     RANK-1 live-degree factors, and covered-node liveness is rank-1 too:
     w[u,v] = base[u,v] * row[dst] * col[src].  The base therefore stays a
     STATIC small-integer array in HBM (int8 by default — exact and 4x
     smaller than f32) and all per-step dynamics ride two f32 per-node
-    vectors fused into the kernel.  Cascade-severed edges are individual
-    base edits (sever_edges), amortized across the 12+ spmm calls per
-    forward.
+    vectors.  Cascade-severed edges are individual base edits
+    (sever_edges), amortized across the 12+ spmm calls per forward.
 
-All window/scale plumbing uses aligned-block pad+slice+concat (never gather):
-window(x)[i] = [blk[i-1][-B:], blk[i], blk[i+1][:B]].
+Out-of-band edges use COMPACT MIRROR LANES, not a big-table COO: XLA's TPU
+gather/scatter cost scales with the TABLE size (a 1k-row gather from a
+2^20-row table costs ~2.5 ms on v5e — it is a table scan), so per-edge
+indexing into [pad_n, D] is poison.  Instead, each block's mid-band matmul
+carries C extra one-hot output rows that COMPACT the block's overflow-
+touched nodes into a [nb*C, D] mirror buffer (same h read, ~C/S extra
+FLOPs); the overflow edges run as a sorted-COO SpMM entirely inside that
+small mirror table; and the mirrored result is expanded back through the
+same one-hots.  Blocks with more than C touched rows spill to a legacy
+full-table COO (statically skipped when empty).
 
-Out-of-band edges (rare after ordering) fall back to the sorted-COO path.
-On CPU (tests) a jnp reference path replaces the Pallas kernel.
+The band contraction itself is ONE batched einsum per pass against a
+materialized [nb, W2, D] window (aligned-block concat, no gather), rather
+than a Pallas kernel or a three-term split: on v5e the single large-K dot
+runs at ~2.5x the split's HBM rate (small-K matmuls under-fill the MXU) and
+~1.5x a hand-written Mosaic window kernel (scripts/proto_band_v4.py is the
+comparison harness), and XLA fuses the int8->bf16 cast into the dot.
 """
 
 from __future__ import annotations
@@ -49,19 +61,30 @@ from mdcommunity_tpu.ops.spmm_csr import SortedCOO, build_sorted_coo, spmm_sorte
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseBandGraph:
-    """Block-banded dense adjacency for one layer.
+    """Block-banded dense adjacency for one layer (+ mirror lanes).
 
-    base     : [nb, S, W2] adjacency values (usually 0/1; int8/bf16/f32)
-    overflow : SortedCOO of out-of-band edges
-    w_ov     : f32[E_ov] overflow base values (destination-sorted order)
+    base   : [nb, S+C, W2] rows 0..S: band values (window columns cover
+             source rows [i*S - B, i*S + S + B) mod pad_n); rows S..S+C:
+             one-hot compaction lanes (mirror), hot at column B + local_row
+    ccoo   : SortedCOO over the nb*C mirror space (overflow edges)
+    w_cov  : f32[E_ov] overflow edge values (ccoo destination order)
+    c_usrc/c_udst : int32[E_ov] original node ids (sever matching)
+    spill  : SortedCOO over pad_n — edges whose endpoints exceeded the C
+             mirror lanes of their block (legacy full-table path)
+    w_spill: f32[E_spill]
     """
 
     base: jnp.ndarray
-    overflow: SortedCOO
-    w_ov: jnp.ndarray
+    ccoo: SortedCOO
+    w_cov: jnp.ndarray
+    c_usrc: jnp.ndarray
+    c_udst: jnp.ndarray
+    spill: SortedCOO
+    w_spill: jnp.ndarray
     n: int = dataclasses.field(metadata=dict(static=True))
     S: int = dataclasses.field(metadata=dict(static=True))
     B: int = dataclasses.field(metadata=dict(static=True))
+    C: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def W2(self) -> int:
@@ -74,6 +97,10 @@ class DenseBandGraph:
     @property
     def pad_n(self) -> int:
         return self.n_blocks * self.S
+
+    @property
+    def nbytes_base(self) -> int:
+        return self.base.nbytes
 
 
 def band_slots(
@@ -105,19 +132,28 @@ def band_slots(
     return ib, blk, lr, lc
 
 
+def _pow2ceil(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
 def build_dense_band(
     src: np.ndarray,
     dst: np.ndarray,
     w: Optional[np.ndarray],
     n: int,
-    S: int = 512,
-    B: int = 256,
+    S: int = 256,
+    B: int = 128,
     dtype=jnp.int8,
+    max_mirror: int = 64,
 ) -> DenseBandGraph:
     """Host-side build from directed edges (out[dst] += w*h[src]); w=None
     means unit weights.  Duplicate edges accumulate.  dtype=int8 is exact for
     small-integer adjacencies (the usual case); use f32/bf16 for real-valued
-    bases (e.g. Laplacians)."""
+    bases (e.g. Laplacians).  The edge set must be SYMMETRIC (both directed
+    copies present with equal weight) — backward relies on A^T = A."""
     assert B <= S and S % 8 == 0 and B % 8 == 0
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -127,23 +163,74 @@ def build_dense_band(
     nb = -(-n // S)
     pad_n = nb * S
     ib, blk, lr, lc = band_slots(src, dst, n, S, B)
-    base = np.zeros((nb, S, S + 2 * B), np.float32)
-    np.add.at(base, (blk[ib], lr[ib], lc[ib]), w[ib])
+    W2 = S + 2 * B
+    base = np.zeros((nb, S, W2), np.float32)
+    flat = (blk[ib] * S + lr[ib]) * W2 + lc[ib]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    base.reshape(-1)[uniq] = np.bincount(inv, weights=w[ib])
     if dtype == jnp.int8:
         assert np.all(base == np.round(base)) and np.abs(base).max(initial=0) < 127, (
             "int8 base requires small-integer adjacency values"
         )
     ov_src, ov_dst, ov_w = src[~ib], dst[~ib], w[~ib]
-    order = np.argsort(ov_dst, kind="stable")
+
+    # --- mirror lane assignment -------------------------------------------
+    touched = np.unique(np.concatenate([ov_src, ov_dst])) if len(ov_src) else (
+        np.zeros(0, np.int64)
+    )
+    tblk = touched // S
+    # rank of each touched row within its block
+    rank = np.zeros(len(touched), np.int64)
+    if len(touched):
+        starts = np.flatnonzero(np.r_[True, tblk[1:] != tblk[:-1]])
+        block_start = np.repeat(starts, np.diff(np.r_[starts, len(tblk)]))
+        rank = np.arange(len(tblk)) - block_start
+    max_count = int(rank.max(initial=-1)) + 1
+    C = min(_pow2ceil(max(max_count, 1)), max_mirror) if len(touched) else 0
+
+    slotted = rank < C
+    slot_of = {int(r): int(tblk[i] * C + rank[i])
+               for i, r in enumerate(touched) if slotted[i]}
+
+    onehot = np.zeros((nb, C, S), np.float32)
+    for i, r in enumerate(touched):
+        if slotted[i]:
+            onehot[tblk[i], rank[i], r - tblk[i] * S] = 1.0
+
+    cs = np.array([slot_of.get(int(u), -1) for u in ov_src], np.int64)
+    cd = np.array([slot_of.get(int(v), -1) for v in ov_dst], np.int64)
+    ok = (cs >= 0) & (cd >= 0)
+    order = np.argsort(cd[ok], kind="stable")
+    ccoo = build_sorted_coo(
+        cs[ok][order].astype(np.int32), cd[ok][order].astype(np.int32),
+        max(nb * C, 1),
+    )
+    w_cov = jnp.asarray(ov_w[ok][order])
+    c_usrc = jnp.asarray(ov_src[ok][order].astype(np.int32))
+    c_udst = jnp.asarray(ov_dst[ok][order].astype(np.int32))
+
+    sp_s, sp_d, sp_w = ov_src[~ok], ov_dst[~ok], ov_w[~ok]
+    sorder = np.argsort(sp_d, kind="stable")
+    spill = build_sorted_coo(
+        sp_s[sorder].astype(np.int32), sp_d[sorder].astype(np.int32), pad_n
+    )
+    w_spill = jnp.asarray(sp_w[sorder])
+
+    lanes = np.zeros((nb, C, S + 2 * B), np.float32)
+    lanes[:, :, B : B + S] = onehot
+    base_ext = np.concatenate([base, lanes], axis=1)
     return DenseBandGraph(
-        base=jnp.asarray(base, dtype),
-        overflow=build_sorted_coo(
-            ov_src[order].astype(np.int32), ov_dst[order].astype(np.int32), pad_n
-        ),
-        w_ov=jnp.asarray(ov_w[order]),
+        base=jnp.asarray(base_ext, dtype),
+        ccoo=ccoo,
+        w_cov=w_cov,
+        c_usrc=c_usrc,
+        c_udst=c_udst,
+        spill=spill,
+        w_spill=w_spill,
         n=n,
         S=S,
         B=B,
+        C=C,
     )
 
 
@@ -152,7 +239,7 @@ def sever_edges(
 ) -> DenseBandGraph:
     """Zero individual directed edges (cascade-severed).  src/dst: int32[K]
     padded edge lists, valid: bool[K].  In-band slots are scattered to zero;
-    out-of-band ones zero the matching overflow weights.  Returns a new
+    mirror/spill edges zero the matching weights.  Returns a new
     DenseBandGraph sharing untouched leaves."""
     S, B = dbg.S, dbg.B
     blk = dst // S
@@ -161,30 +248,36 @@ def sever_edges(
     # same symmetric in-band test as band_slots (keeps A^T = A)
     lc_t = (dst - ((src // S) * S - B)) % dbg.pad_n
     ib = (lc < dbg.W2) & (lc_t < dbg.W2) & valid
-    # route invalid/out-of-band updates to a dummy slot write of the existing
-    # value (scatter with no-op): use index 0 with current value
-    safe_blk = jnp.where(ib, blk, 0)
-    safe_lr = jnp.where(ib, lr, 0)
-    safe_lc = jnp.where(ib, lc, 0)
-    keep = dbg.base[safe_blk, safe_lr, safe_lc]
-    new_vals = jnp.where(ib, jnp.zeros_like(keep), keep)
-    base = dbg.base.at[safe_blk, safe_lr, safe_lc].set(new_vals)
-    w_ov = dbg.w_ov
-    if dbg.overflow.d_src.shape[0]:
-        # zero overflow entries matching any severed (src, dst) pair
-        key = dbg.overflow.d_src.astype(jnp.int64) * dbg.pad_n + dbg.overflow.d_dst
-    # note: overflow matching is O(E_ov * K); callers with large sever sets
-    # should rebuild instead.  K is small per step in practice.
+
+    sb = jnp.where(ib, blk, 0)
+    sr = jnp.where(ib, lr, 0)
+    sc = jnp.where(ib, lc, 0)
+    keep = dbg.base[sb, sr, sc]
+    base = dbg.base.at[sb, sr, sc].set(
+        jnp.where(ib, jnp.zeros_like(keep), keep)
+    )
+
+    def zero_match(usrc, udst, wvec):
+        if not wvec.shape[0]:
+            return wvec
+        key = usrc.astype(jnp.int64) * dbg.pad_n + udst
         skey = jnp.where(
             valid & ~ib, src.astype(jnp.int64) * dbg.pad_n + dst, jnp.int64(-1)
         )
         hit = (key[:, None] == skey[None, :]).any(axis=1)
-        w_ov = jnp.where(hit, 0.0, w_ov)
-    return dataclasses.replace(dbg, base=base, w_ov=w_ov)
+        return jnp.where(hit, 0.0, wvec)
+
+    # note: overflow matching is O(E_ov * K); callers with large sever sets
+    # should rebuild instead.  K is small per step in practice.
+    w_cov = zero_match(dbg.c_usrc, dbg.c_udst, dbg.w_cov)
+    w_spill = zero_match(dbg.spill.d_src, dbg.spill.d_dst, dbg.w_spill)
+    return dataclasses.replace(
+        dbg, base=base, w_cov=w_cov, w_spill=w_spill,
+    )
 
 
 # ---------------------------------------------------------------------------
-# window plumbing (gather-free, circular)
+# band contraction (gather-free, circular)
 # ---------------------------------------------------------------------------
 
 def _blocks_ring(x: jnp.ndarray, nb: int, S: int):
@@ -196,76 +289,48 @@ def _blocks_ring(x: jnp.ndarray, nb: int, S: int):
     return prev, xb, nxt
 
 
-def window_vec(dbg: DenseBandGraph, vec: jnp.ndarray) -> jnp.ndarray:
-    """[pad_n] per-node vector -> [nb, W2] circular sliding windows at
-    stride S, via aligned-block concat (no gather)."""
-    S, B = dbg.S, dbg.B
-    prev, cur, nxt = _blocks_ring(vec, dbg.n_blocks, S)
-    return jnp.concatenate([prev[:, S - B :], cur, nxt[:, :B]], axis=1)
-
-
-# ---------------------------------------------------------------------------
-# band contraction
-# ---------------------------------------------------------------------------
-#
-# The band matmul is written as THREE batched matmuls against aligned block
-# views (prev-tail / mid / next-head) instead of one matmul against a
-# materialized [nb, W2, D] window: XLA fuses the int8->bf16 cast and the
-# block slicing into the dots, so HBM traffic is just base + h + out.
-# Measured on TPU v5e this beats a hand-written Pallas window kernel by
-# ~1.5x (the Mosaic pipeline adds ~1.4us/block over XLA's own schedule),
-# so the XLA formulation IS the TPU path; Pallas remains in
-# scripts/proto_band_v*.py as the comparison harness.
-
 def _spmm_band3(dbg, h, precise: bool):
-    nb, S, B = dbg.n_blocks, dbg.S, dbg.B
+    """Band + mirror-lane contraction of an ALREADY col-scaled h.
+
+    Returns [pad_n, D].  Symmetric in the whole stored operator, so the
+    backward pass reuses it verbatim."""
+    nb, S, B, C = dbg.n_blocks, dbg.S, dbg.B, dbg.C
     dt = jnp.float32 if precise else jnp.bfloat16
     prec = jax.lax.Precision.HIGHEST if precise else None
-    base = dbg.base
-    bL = base[:, :, :B].astype(dt)
-    bM = base[:, :, B : B + S].astype(dt)
-    bR = base[:, :, B + S :].astype(dt)
     prev, cur, nxt = _blocks_ring(h.astype(dt), nb, S)
+    hw = jnp.concatenate([prev[:, S - B :, :], cur, nxt[:, :B, :]], axis=1)
     mm = partial(
-        jnp.einsum, "bsk,bkd->bsd", preferred_element_type=jnp.float32,
-        precision=prec,
+        jnp.einsum, preferred_element_type=jnp.float32, precision=prec,
     )
-    out = mm(bL, prev[:, S - B :, :]) + mm(bM, cur) + mm(bR, nxt[:, :B, :])
-    return out.reshape(dbg.pad_n, -1)
-
-
-def _raw(dbg, h, precise):
-    return _spmm_band3(dbg, h, precise)
+    out_ext = mm("bkw,bwd->bkd", dbg.base.astype(dt), hw)
+    out = out_ext[:, :S]
+    if C and dbg.ccoo.d_src.shape[0]:
+        sub = out_ext[:, S:].reshape(nb * C, -1)
+        out_sub = spmm_sorted(dbg.ccoo, dbg.w_cov, sub)
+        G = dbg.base[:, S:, B : B + S].astype(dt)
+        out = out + mm("bcs,bcd->bsd", G, out_sub.reshape(nb, C, -1).astype(dt))
+    out = out.reshape(dbg.pad_n, -1)
+    if dbg.spill.d_src.shape[0]:
+        out = out + spmm_sorted(dbg.spill, dbg.w_spill, h)
+    return out
 
 
 def _make_spmm(precise: bool):
     # R·A·C·h = R·(A·(C·h)): the rank-1 scales ride the [*, D] planes, the
-    # kernel is a pure base @ window matmul with zero VPU work on [S, W2].
+    # contraction is pure base @ blocks with zero VPU work on [S, W2].
     @jax.custom_vjp
     def op(dbg, row, col, h):
         hc = h * col[:, None]
-        out = _raw(dbg, hc, precise)
-        if dbg.overflow.d_src.shape[0]:
-            out += spmm_sorted(dbg.overflow, dbg.w_ov, hc)
-        return out * row[:, None]
+        return _spmm_band3(dbg, hc, precise) * row[:, None]
 
     def fwd(dbg, row, col, h):
         return op(dbg, row, col, h), (dbg, row, col)
 
     def bwd(res, g):
         dbg, row, col = res
-        # (R A C)^T = C A R for symmetric A: swap the scale roles
+        # (R A C)^T = C A R for the symmetric stored operator
         gr = g * row[:, None]
-        dh = _raw(dbg, gr, precise)
-        if dbg.overflow.d_src.shape[0]:
-            ov = dbg.overflow
-            w_s = dbg.w_ov[ov.s2d]
-            dh += jax.ops.segment_sum(
-                gr[ov.s_dst] * w_s[:, None],
-                ov.s_src,
-                num_segments=ov.n,
-                indices_are_sorted=True,
-            )
+        dh = _spmm_band3(dbg, gr, precise)
         return None, None, None, dh * col[:, None]
 
     op.defvjp(fwd, bwd)
@@ -282,12 +347,13 @@ def spmm_dense_band(
     h: jnp.ndarray,
     precise: bool = False,
 ) -> jnp.ndarray:
-    """out = (base * row⊗col) @ h  (+ overflow edges, scaled the same way).
+    """out = (A * row⊗col) @ h for the full stored operator (band + mirror
+    overflow + spill).
 
     row : f32[pad_n] destination-side scale (0 = dead node)
     col : f32[pad_n] source-side scale
     h   : [pad_n, D]
-    precise=True runs the matmul in f32 (parity paths); default bf16 (the
+    precise=True runs the matmuls in f32 (parity paths); default bf16 (the
     int8 base and 0/1-ish scales are bf16-exact; h rounds to ~2^-8 rel).
 
     Differentiable in h only (adjacency values are graph constants).  dh uses

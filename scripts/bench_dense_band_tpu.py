@@ -43,7 +43,8 @@ def main():
     tb = time.perf_counter() - t0
     print(
         f"n={n} e2={e2} S={S} B={B} dtype={np.dtype(dtype).name} "
-        f"base={dbg.base.nbytes/1e9:.2f}GB overflow={int(dbg.overflow.d_src.shape[0])}"
+        f"base={dbg.nbytes_base/1e9:.2f}GB mirror={int(dbg.ccoo.d_src.shape[0])}"
+        f" C={dbg.C} spill={int(dbg.spill.d_src.shape[0])}"
         f" build={tb:.1f}s",
         flush=True,
     )

@@ -138,7 +138,8 @@ def test_circular_seam_edges_in_band(rng):
     ssym = np.concatenate([src, dst])
     dsym = np.concatenate([dst, src])
     dbg = build_dense_band(ssym, dsym, None, n, S=S, B=B, dtype=jnp.float32)
-    assert int(dbg.overflow.d_src.shape[0]) == 0
+    assert int(dbg.ccoo.d_src.shape[0]) == 0
+    assert int(dbg.spill.d_src.shape[0]) == 0
 
     h = rng.standard_normal((dbg.pad_n, 8)).astype(np.float32)
     gcot = rng.standard_normal((dbg.pad_n, 8)).astype(np.float32)
@@ -165,10 +166,10 @@ def test_sever_overflow_and_band_edges(rng):
     the circular symmetric classification."""
     src, dst = _sym_graph(rng, 260, 700, 30, 15)
     dbg = build_dense_band(src, dst, None, 260, S=128, B=64, dtype=jnp.float32)
-    assert int(dbg.overflow.d_src.shape[0]) > 0
-    # sever one overflow edge and one band edge, both directions
-    ov_s = int(np.asarray(dbg.overflow.d_src)[0])
-    ov_d = int(np.asarray(dbg.overflow.d_dst)[0])
+    assert int(dbg.ccoo.d_src.shape[0]) > 0
+    # sever one overflow (mirror-lane) edge and one band edge, both directions
+    ov_s = int(np.asarray(dbg.c_usrc)[0])
+    ov_d = int(np.asarray(dbg.c_udst)[0])
     band_idx = np.argmax(np.abs(src - dst) <= 8)
     b_s, b_d = int(src[band_idx]), int(dst[band_idx])
     sev_src = jnp.asarray([ov_s, ov_d, b_s, b_d], jnp.int32)
@@ -182,3 +183,32 @@ def test_sever_overflow_and_band_edges(rng):
     for s, d in [(ov_s, ov_d), (ov_d, ov_s), (b_s, b_d), (b_d, b_s)]:
         a[d, s] = 0.0
     np.testing.assert_allclose(out, a @ h.astype(np.float64), rtol=1e-4, atol=1e-4)
+
+
+def test_mirror_spill_path(rng):
+    """Blocks with more touched rows than mirror lanes spill to the legacy
+    full-table COO; results still match the dense oracle (fwd + grad)."""
+    src, dst = _sym_graph(rng, 260, 500, 20, 60)
+    dbg = build_dense_band(
+        src, dst, None, 260, S=128, B=64, dtype=jnp.float32, max_mirror=2
+    )
+    assert int(dbg.spill.d_src.shape[0]) > 0
+    assert int(dbg.ccoo.d_src.shape[0]) > 0
+    h = rng.standard_normal((dbg.pad_n, 8)).astype(np.float32)
+    gcot = rng.standard_normal((dbg.pad_n, 8)).astype(np.float32)
+    ones = jnp.ones((dbg.pad_n,), jnp.float32)
+    out = spmm_dense_band(dbg, ones, ones, jnp.asarray(h), precise=True)
+    a = _dense_a(src, dst, dbg.pad_n)
+    np.testing.assert_allclose(
+        np.asarray(out), a @ h.astype(np.float64), rtol=1e-4, atol=1e-4
+    )
+
+    def loss(h):
+        return jnp.vdot(
+            spmm_dense_band(dbg, ones, ones, h, precise=True), jnp.asarray(gcot)
+        )
+
+    dh = jax.grad(loss)(jnp.asarray(h))
+    np.testing.assert_allclose(
+        np.asarray(dh), a.T @ gcot.astype(np.float64), rtol=1e-4, atol=1e-4
+    )
