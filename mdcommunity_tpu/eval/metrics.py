@@ -188,3 +188,79 @@ def reinsert_solution(
                         parent[ra] = rb
     inserted.reverse()
     return inserted
+
+
+def dismantle_greedy_banded(
+    params,
+    banded,
+    env,
+    step: int = 1,
+    variant: str = "unit_cost",
+    precise: bool = False,
+    max_steps: Optional[int] = None,
+) -> Tuple[List[int], float, List[float]]:
+    """Greedy Q rollout on a large BandedDuplex with a HostDuplexEnv.
+
+    The device side (band aggregation forward + sever edits) is jitted
+    end-to-end per model call; the cascade runs on host (scipy connected
+    components) exactly as the reference splits CPU env / device net.
+    Returns (solution in BANDED ids, score = AUDC, curve)."""
+    import functools
+
+    from mdcommunity_tpu.graphs.banded import apply_severs
+    from mdcommunity_tpu.models.net import banded_test_forward
+
+    qfn = jax.jit(
+        banded_test_forward, static_argnames=("variant", "max_bp_iter", "precise")
+    )
+    sever_fn = jax.jit(apply_severs, static_argnames=("layer",))
+
+    pad_n = banded.pad_n
+    n = env.n
+    max_steps = max_steps or n
+    sol: List[int] = []
+
+    def pad_pow2(k: int) -> int:
+        p = 8
+        while p < k:
+            p *= 2
+        return p
+
+    def apply(banded, layer, ns):
+        k = pad_pow2(len(ns))
+        s = np.zeros(k, np.int32)
+        d = np.zeros(k, np.int32)
+        v = np.zeros(k, bool)
+        s[: len(ns)] = ns[:, 0]
+        d[: len(ns)] = ns[:, 1]
+        v[: len(ns)] = True
+        return sever_fn(
+            banded, layer, jnp.asarray(s), jnp.asarray(d), jnp.asarray(v)
+        )
+
+    # sync the band with any edges the env has already severed (the t=0
+    # cascade usually severs some — the two layers' partitions rarely agree)
+    for layer in range(2):
+        ns = env.edges[layer][env.sever[layer]]
+        if len(ns):
+            banded = apply(banded, layer, ns)
+
+    while not env.terminal and len(sol) < max_steps:
+        covered_dev = jnp.asarray(
+            np.pad(env.covered, (0, pad_n - n), constant_values=True)
+        )
+        q = np.asarray(
+            qfn(params, banded, covered_dev, variant=variant, precise=precise)
+        )
+        order = np.argsort(-q)[:step]
+        for a in order:
+            if env.terminal or len(sol) >= max_steps:
+                break
+            if not np.isfinite(q[a]) or env.covered[a]:
+                break
+            _, new_sev = env.step(int(a), degree_cost=(variant == "degree_cost"))
+            sol.append(int(a))
+            for layer in range(2):
+                if len(new_sev[layer]):
+                    banded = apply(banded, layer, new_sev[layer])
+    return sol, float(env.score), list(env.curve)

@@ -51,27 +51,40 @@ def evaluate_real(
     g_orig = g  # original-id graph (the blocked path relabels nodes)
 
     perm = None
+    step = max(int(step_ratio * n_nodes), 1) if step_ratio > 0 else 1
+
     if n_nodes > blocked_threshold and variant in ("unit_cost", "degree_cost"):
-        # large nets: RCM-reorder + blocked-pair Pallas aggregation
-        # (graphs/blocked.py) instead of dense [N, N] tiles
-        from mdcommunity_tpu.graphs.blocked import build_blocked_duplex
+        # large nets: RCM-reorder + dense-band aggregation (graphs/banded.py)
+        # with the cascade on host (env/host_env.py) — the reference's CPU-env
+        # / device-net split, with the device side jitted end-to-end
+        from mdcommunity_tpu.env.host_env import HostDuplexEnv
+        from mdcommunity_tpu.eval.metrics import dismantle_greedy_banded
+        from mdcommunity_tpu.graphs.banded import build_banded_duplex
         from mdcommunity_tpu.graphs.io import read_multiplex_edges
 
         raw = read_multiplex_edges(path, n_nodes)
         e0 = raw.get(layers[0], np.zeros((0, 2), np.int32))
         e1 = raw.get(layers[1], np.zeros((0, 2), np.int32))
         weights = np.asarray(g.weights) if variant == "degree_cost" else None
-        bd = build_blocked_duplex(n_nodes, e0, e1, weights=weights)
-        g, perm = bd, bd.perm
-
-    step = max(int(step_ratio * n_nodes), 1) if step_ratio > 0 else 1
-
-    t0 = time.time()
-    sol, score, curve = dismantle_greedy(params, g, step=step, variant=variant)
-    solve_time = time.time() - t0
-    if perm is not None:
+        banded, perm, (oe0, oe1) = build_banded_duplex(
+            n_nodes, e0, e1, weights=weights
+        )
+        env = HostDuplexEnv(
+            n_nodes, oe0, oe1,
+            weights=np.asarray(banded.weights)[:, :n_nodes]
+            if variant == "degree_cost" else None,
+        )
+        t0 = time.time()
+        sol, score, curve = dismantle_greedy_banded(
+            params, banded, env, step=step, variant=variant
+        )
+        solve_time = time.time() - t0
         sol = [int(perm[v]) for v in sol]  # back to original node ids
-        g = g.g
+        g = g_orig
+    else:
+        t0 = time.time()
+        sol, score, curve = dismantle_greedy(params, g, step=step, variant=variant)
+        solve_time = time.time() - t0
 
     sub = os.path.join(save_dir, f"StepRatio_{step_ratio:.4f}")
     base = dataset.split(".")[0]

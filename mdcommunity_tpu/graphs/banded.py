@@ -1,0 +1,151 @@
+"""Banded large-graph duplex container: dense-band aggregation state.
+
+For large single graphs (real multiplex nets, 10^4-10^6+ nodes) the model's
+neighborhood aggregation runs through the block-banded dense engine
+(ops/dense_band.py) after an RCM locality ordering, and the dismantling
+environment runs on the HOST (env/host_env.py) — mirroring the reference's
+CPU-env / device-model split (MvcEnv + CUDA net) but with the device side
+jitted end-to-end per step.
+
+The container is a jit-able pytree: per-layer DenseBandGraphs plus the
+per-node attributes the model consumes.  Liveness is rank-1 (covered mask ->
+row/col scales) and cascade-severed edges are base edits (sever_edges),
+applied incrementally by the eval loop as the host env reports them.
+
+Reference analogue: none — the reference rebuilds torch_sparse COO operands
+from scratch every step (PrepareBatchGraph.py:76-177).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdcommunity_tpu.graphs.ordering import apply_order, rcm_order
+from mdcommunity_tpu.ops.dense_band import (
+    DenseBandGraph,
+    build_dense_band,
+    sever_edges,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedDuplex:
+    """Large padded duplex graph backed by per-layer dense-band adjacency.
+
+    dbg0/dbg1 : DenseBandGraph per layer (symmetric storage, ordered ids)
+    node_mask : bool[pad_n] real-node mask
+    weights   : f32[2, pad_n] per-layer node weights (degree-cost; ones else)
+    node_feat : f32[2, pad_n] static per-layer prior feature (CE; zeros else)
+    n_nodes   : int32[] real node count
+    n_edges   : f32[2] undirected edge counts per layer
+    max_rank  : int32[] intact LMCC size
+    """
+
+    dbg0: DenseBandGraph
+    dbg1: DenseBandGraph
+    node_mask: jnp.ndarray
+    weights: jnp.ndarray
+    node_feat: jnp.ndarray
+    n_nodes: jnp.ndarray
+    n_edges: jnp.ndarray
+    max_rank: jnp.ndarray
+
+    @property
+    def pad_n(self) -> int:
+        return self.dbg0.pad_n
+
+    def dbg(self, layer: int) -> DenseBandGraph:
+        return self.dbg0 if layer == 0 else self.dbg1
+
+
+def build_banded_duplex(
+    n_nodes: int,
+    edges0: np.ndarray,
+    edges1: np.ndarray,
+    S: int = 256,
+    B: int = 128,
+    reorder: bool = True,
+    weights: Optional[np.ndarray] = None,
+    node_feat: Optional[np.ndarray] = None,
+    max_rank: Optional[int] = None,
+) -> Tuple[BandedDuplex, np.ndarray, Tuple[np.ndarray, np.ndarray]]:
+    """Build from undirected edge arrays [M, 2] (original node ids).
+
+    Returns (banded, perm, (ordered_edges0, ordered_edges1)) where perm maps
+    new position -> original id and the ordered edge arrays (new ids) feed the
+    host environment.  Per-node attributes are permuted automatically.
+    """
+    edges0 = np.asarray(edges0, np.int64).reshape(-1, 2)
+    edges1 = np.asarray(edges1, np.int64).reshape(-1, 2)
+    if reorder:
+        perm = rcm_order(
+            [edges0[:, 0], edges1[:, 0]], [edges0[:, 1], edges1[:, 1]], n_nodes
+        )
+    else:
+        perm = np.arange(n_nodes, dtype=np.int64)
+
+    dbgs = []
+    ordered = []
+    for e in (edges0, edges1):
+        s, d = apply_order(perm, e[:, 0], e[:, 1])
+        ordered.append(np.stack([s, d], axis=1))
+        ssym = np.concatenate([s, d])
+        dsym = np.concatenate([d, s])
+        dbgs.append(build_dense_band(ssym, dsym, None, n_nodes, S=S, B=B))
+    pad_n = dbgs[0].pad_n
+
+    node_mask = np.zeros(pad_n, bool)
+    node_mask[:n_nodes] = True
+    if weights is not None:
+        w = np.zeros((2, pad_n), np.float32)
+        w[:, :n_nodes] = np.asarray(weights, np.float32)[..., perm]
+    else:
+        w = np.ones((2, pad_n), np.float32)
+    if node_feat is not None:
+        nf = np.zeros((2, pad_n), np.float32)
+        nf[:, :n_nodes] = np.asarray(node_feat, np.float32)[..., perm]
+    else:
+        nf = np.zeros((2, pad_n), np.float32)
+
+    if max_rank is None:
+        from mdcommunity_tpu.env.host_env import HostDuplexEnv
+
+        env = HostDuplexEnv(n_nodes, ordered[0], ordered[1])
+        max_rank = env.max_rank
+
+    banded = BandedDuplex(
+        dbg0=dbgs[0],
+        dbg1=dbgs[1],
+        node_mask=jnp.asarray(node_mask),
+        weights=jnp.asarray(w),
+        node_feat=jnp.asarray(nf),
+        n_nodes=jnp.int32(n_nodes),
+        n_edges=jnp.asarray([len(edges0), len(edges1)], jnp.float32),
+        max_rank=jnp.int32(max_rank),
+    )
+    return banded, perm, tuple(ordered)
+
+
+def apply_severs(
+    banded: BandedDuplex,
+    layer: int,
+    sev_src: jnp.ndarray,
+    sev_dst: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> BandedDuplex:
+    """Zero newly-severed undirected edges in one layer's band (both directed
+    copies).  sev_src/sev_dst: int32[K] padded, valid: bool[K]."""
+    dbg = banded.dbg(layer)
+    src2 = jnp.concatenate([sev_src, sev_dst])
+    dst2 = jnp.concatenate([sev_dst, sev_src])
+    v2 = jnp.concatenate([valid, valid])
+    dbg = sever_edges(dbg, src2, dst2, v2)
+    return dataclasses.replace(
+        banded, **({"dbg0": dbg} if layer == 0 else {"dbg1": dbg})
+    )

@@ -228,3 +228,95 @@ def laplacian_regularizer(
         denom = jnp.maximum(jnp.sum(inputs.n_dir_live[:, l]), 1.0)
         total = total + 2.0 * (quad - cross) / denom
     return total
+
+
+# ---------------------------------------------------------------------------
+# banded large-graph forward (dense-band aggregation, jitted end-to-end)
+# ---------------------------------------------------------------------------
+
+def _banded_inputs(bdx, covered: jnp.ndarray, variant: str) -> BatchInputs:
+    """BatchInputs (B=1) for a BandedDuplex + covered mask.
+
+    Degrees and edge counts come from dense-band unit passes instead of
+    per-edge segment ops (feature parity with env/batch.py _single_inputs;
+    the severed-edge record lives in the band base itself, so the
+    covered-edge aux counter is U - L: unsevered minus live edges)."""
+    from mdcommunity_tpu.ops.dense_band import spmm_dense_band
+
+    pad_n = bdx.pad_n
+    live = (~covered) & bdx.node_mask
+    livef = live.astype(jnp.float32)
+    maskf = bdx.node_mask.astype(jnp.float32)
+    ones = jnp.ones((pad_n, 1), jnp.float32)
+
+    degs, counters, n_dir_live = [], [], []
+    for l in range(2):
+        dbg = bdx.dbg(l)
+        deg = spmm_dense_band(dbg, livef, livef, ones)[:, 0]
+        deg_u = spmm_dense_band(dbg, maskf, maskf, ones)[:, 0]
+        degs.append(deg)
+        live_cnt = jnp.sum(deg) / 2.0
+        unsevered_cnt = jnp.sum(deg_u) / 2.0
+        counters.append(unsevered_cnt - live_cnt)
+        n_dir_live.append(2.0 * live_cnt)
+    deg = jnp.stack(degs)  # [2, N]
+    active = live & (deg[0] > 0)
+
+    if variant == "degree_cost":
+        base = jnp.stack([bdx.weights, jnp.ones_like(bdx.weights)], axis=-1)
+        node_input = jnp.where(active[None, :, None], base, 0.0)
+    else:
+        maxdeg = jnp.max(jnp.where(active[None, :], deg, 0.0), axis=1)
+        nd = deg / jnp.maximum(maxdeg, 1e-12)[:, None]
+        nd = jnp.where(active[None, :], nd, 0.0)
+        feats = [nd, nd]
+        if variant == "ce":
+            feats.append(jnp.where(active[None, :], bdx.node_feat, 0.0))
+        node_input = jnp.stack(feats, axis=-1)
+
+    n_f = bdx.n_nodes.astype(jnp.float32)
+    cov_frac = jnp.sum(covered & bdx.node_mask) / n_f
+    e_cnt = jnp.maximum(bdx.n_edges, 1.0)
+    wedges = jnp.sum(deg * (deg - 1.0) / 2.0, axis=1)
+    aux = jnp.stack(
+        [
+            jnp.full((2,), cov_frac),
+            jnp.stack(counters) / e_cnt,
+            wedges / (n_f * n_f),
+            jnp.ones((2,)),
+        ],
+        axis=-1,
+    )
+    return BatchInputs(
+        adj=None,
+        live_w=jnp.zeros((1, 2, 1), jnp.float32),
+        deg=deg[None],
+        active=active[None],
+        node_input=node_input[None],
+        aux=aux[None],
+        n_dir_live=jnp.stack(n_dir_live)[None],
+    )
+
+
+def banded_test_forward(
+    params: Params,
+    bdx,
+    covered: jnp.ndarray,
+    variant: str = "unit_cost",
+    max_bp_iter: int = 3,
+    precise: bool = False,
+) -> jnp.ndarray:
+    """Q(s, ·) over all nodes of a BandedDuplex: [N]; dead nodes -inf.
+
+    Jit this with static (variant, max_bp_iter, precise); bdx and covered are
+    traced arguments, so per-step sever edits and covered updates never
+    retrace."""
+    inputs = _banded_inputs(bdx, covered, variant)
+    live = ((~covered) & bdx.node_mask).astype(jnp.float32)
+
+    def agg(_g, _inputs, layer, h):
+        from mdcommunity_tpu.ops.dense_band import spmm_dense_band
+
+        return spmm_dense_band(bdx.dbg(layer), live, live, h[0], precise)[None]
+
+    return test_forward(params, None, inputs, max_bp_iter, aggregate_fn=agg)[0]

@@ -260,11 +260,14 @@ def sever_edges(
     def zero_match(usrc, udst, wvec):
         if not wvec.shape[0]:
             return wvec
-        key = usrc.astype(jnp.int64) * dbg.pad_n + udst
-        skey = jnp.where(
-            valid & ~ib, src.astype(jnp.int64) * dbg.pad_n + dst, jnp.int64(-1)
-        )
-        hit = (key[:, None] == skey[None, :]).any(axis=1)
+        # pairwise (src, dst) match — no fused integer keys (src*pad_n + dst
+        # overflows int32 for pad_n >= 2^16, and x64 is disabled)
+        sev = valid & ~ib
+        hit = (
+            (usrc[:, None] == src[None, :])
+            & (udst[:, None] == dst[None, :])
+            & sev[None, :]
+        ).any(axis=1)
         return jnp.where(hit, 0.0, wvec)
 
     # note: overflow matching is O(E_ov * K); callers with large sever sets
