@@ -169,31 +169,45 @@ def build_duplex(
         f3[: hca_feat.shape[0]] = hca_feat
         hca_feat = f3
 
+    # Leaves stay NUMPY on the host: graphs are built in bulk (1000/pool regen)
+    # and a per-graph jnp.asarray would cost 13 tiny host->device transfers each
+    # (~ms apiece through the TPU relay -> minutes per regen).  The pool is
+    # device_put ONCE when GraphPool.stacked materializes.
     g = DuplexGraph(
-        src=jnp.asarray(np.stack([s0, s1])),
-        dst=jnp.asarray(np.stack([d0, d1])),
-        edge_mask=jnp.asarray(np.stack([m0, m1])),
-        node_mask=jnp.asarray(node_mask),
-        n_nodes=jnp.asarray(n_nodes, jnp.int32),
-        n_edges=jnp.asarray([len(e0), len(e1)], jnp.int32),
-        max_rank=jnp.asarray(0, jnp.int32),
-        weights=jnp.asarray(weights),
-        node_feat=jnp.asarray(node_feat),
-        boundary=jnp.asarray(boundary),
-        comm_id=jnp.asarray(comm_id),
-        n_comms=jnp.asarray(n_comms, jnp.int32),
-        hca_feat=jnp.asarray(hca_feat),
+        src=np.stack([s0, s1]),
+        dst=np.stack([d0, d1]),
+        edge_mask=np.stack([m0, m1]),
+        node_mask=node_mask,
+        n_nodes=np.int32(n_nodes),
+        n_edges=np.asarray([len(e0), len(e1)], np.int32),
+        max_rank=np.int32(0),
+        weights=np.asarray(weights, np.float32),
+        node_feat=np.asarray(node_feat, np.float32),
+        boundary=boundary,
+        comm_id=np.asarray(comm_id, np.int32),
+        n_comms=np.asarray(n_comms, np.int32),
+        hca_feat=np.asarray(hca_feat, np.float32),
     )
     if max_rank is None:
         from mdcommunity_tpu.env.cascade import intact_max_rank
 
         max_rank = int(intact_max_rank(g))
-    return dataclasses.replace(g, max_rank=jnp.asarray(max_rank, jnp.int32))
+    return dataclasses.replace(g, max_rank=np.int32(max_rank))
 
 
 def stack_graphs(graphs: List[DuplexGraph]) -> DuplexGraph:
-    """Stack same-padding graphs into a batched DuplexGraph (leading axis B)."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *graphs)
+    """Stack same-padding graphs into a batched DuplexGraph (leading axis B).
+
+    Host-built (numpy-leaf) graphs stack with numpy — zero device traffic;
+    device-resident graphs fall back to jnp.stack.
+    """
+
+    def _stack(*xs):
+        if all(isinstance(x, (np.ndarray, np.generic)) for x in xs):
+            return np.stack(xs)
+        return jnp.stack(xs)
+
+    return jax.tree_util.tree_map(_stack, *graphs)
 
 
 @jax.jit
@@ -230,7 +244,9 @@ class GraphPool:
         if self._stacked is None:
             if not self._graphs:
                 raise ValueError("empty GraphPool")
-            self._stacked = stack_graphs(self._graphs)
+            # one bulk transfer for the whole pool (numpy leaves would otherwise
+            # be re-uploaded by every jitted call that takes `stacked`)
+            self._stacked = jax.device_put(stack_graphs(self._graphs))
         return self._stacked
 
     def get(self, gid: int) -> DuplexGraph:

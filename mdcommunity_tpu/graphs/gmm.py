@@ -214,9 +214,6 @@ def generate_pool(
 ) -> List:
     import dataclasses
 
-    import jax
-    import jax.numpy as jnp
-
     from mdcommunity_tpu.env.cascade import batched_intact_max_rank
     from mdcommunity_tpu.graphs.duplex import stack_graphs
 
@@ -242,7 +239,5 @@ def generate_pool(
         ]
         for g, r in zip(batch, ranks):
             if r > 1:  # reference rejects trivially-dismantled graphs :157-160
-                out.append(
-                    dataclasses.replace(g, max_rank=jnp.asarray(int(r), jnp.int32))
-                )
+                out.append(dataclasses.replace(g, max_rank=np.int32(r)))
     return out
