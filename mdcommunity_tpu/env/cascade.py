@@ -95,6 +95,79 @@ class CascadeResult(NamedTuple):
     live_edge: jnp.ndarray   # bool[2, E] final live (unsevered, endpoints alive)
 
 
+# Below this pad_n, the cascade runs on dense [N,N] reachability matrices
+# (boolean matrix squaring on the MXU) instead of per-edge label propagation.
+# 128 keeps the matrices at 1-2 MXU tiles and integer row sums exact in f32.
+_DENSE_CASCADE_MAX_N = 128
+
+
+def _closure(adj_f32: jnp.ndarray, n_sq: int) -> jnp.ndarray:
+    """Transitive closure of a symmetric 0/1 adjacency (self-loops included) by
+    repeated squaring: after k squarings R covers paths of length 2^k.  All the
+    work is [N,N]x[N,N] matmuls — MXU, no scatters, no data-dependent loops."""
+    r = adj_f32
+    for _ in range(n_sq):
+        r = jnp.minimum(jnp.matmul(r, r, precision=jax.lax.Precision.DEFAULT), 1.0)
+    return r
+
+
+def _dense_cascade(g: DuplexGraph, covered: jnp.ndarray, sever: jnp.ndarray) -> CascadeResult:
+    """MXU formulation of `cascade` for small (training-size) graphs.
+
+    Connected components never materialize as labels: the closure matrix R IS the
+    same-component relation, so "sever layer-l edges whose endpoints lie in
+    different components of the other layer" is the dense mask  live_l & ~R_other
+    — a broadcast elementwise op.  Everything is [N,N] matmuls + elementwise;
+    the only per-edge ops are one scatter (edges -> dense) at entry and one
+    gather (dense -> edge sever mask) at exit.
+    """
+    pad_n = g.pad_n
+    n_sq = max(1, (pad_n - 1).bit_length())
+    alive = g.node_mask & ~covered
+    ep = ~covered[g.src] & ~covered[g.dst]
+    live0 = g.edge_mask & ~sever & ep
+    # dense live adjacency per layer (edges are stored in both directions so
+    # the scatter already yields a symmetric matrix)
+    adj = jax.vmap(
+        lambda s, d, m: jnp.zeros((pad_n, pad_n), jnp.float32).at[s, d].max(
+            m.astype(jnp.float32)
+        )
+    )(g.src, g.dst, live0)
+    eye = jnp.eye(pad_n, dtype=jnp.float32)
+
+    def body(state):
+        adj2, _ = state
+        r0 = _closure(adj2[0] + eye, n_sq)
+        # sever live layer-1 edges crossing layer-0 components
+        cross1 = adj2[1] * (1.0 - r0)
+        a1 = adj2[1] - cross1
+        r1 = _closure(a1 + eye, n_sq)
+        cross0 = adj2[0] * (1.0 - r1)
+        a0 = adj2[0] - cross0
+        changed = (jnp.max(cross0) > 0) | (jnp.max(cross1) > 0)
+        return jnp.stack([a0, a1]), changed
+
+    adj, _ = jax.lax.while_loop(
+        lambda s: s[1], body, body((adj, jnp.bool_(True)))
+    )
+    r0 = _closure(adj[0] + eye, n_sq)
+    alive_f = alive.astype(jnp.float32)
+    comp_size = r0 @ alive_f
+    rank = jnp.max(jnp.where(alive, comp_size, 0.0)).astype(jnp.int32)
+    # labels = min reachable node index (sentinel for dead nodes)
+    iota = jnp.arange(pad_n, dtype=jnp.int32)
+    labels = jnp.min(
+        jnp.where(r0 > 0, iota[None, :], _BIG), axis=1
+    )
+    labels = jnp.where(alive, labels, _BIG)
+    # map the dense live matrix back to the edge-list sever mask: an edge is
+    # (newly) severed iff it was live on entry and is no longer live densely
+    live_dense = jax.vmap(lambda a, s, d: a[s, d] > 0)(adj, g.src, g.dst)
+    new_sever = sever | (live0 & ~live_dense)
+    le = g.edge_mask & ~new_sever & ep
+    return CascadeResult(rank=rank, sever=new_sever, labels=labels, live_edge=le)
+
+
 def cascade(g: DuplexGraph, covered: jnp.ndarray, sever: jnp.ndarray) -> CascadeResult:
     """Run the mutually-connected-component cascade.
 
@@ -105,9 +178,12 @@ def cascade(g: DuplexGraph, covered: jnp.ndarray, sever: jnp.ndarray) -> Cascade
         reference: mvc_env.py remove_edge threading).
 
     Matches Mcc.MCC + find_max_set_length (Mcc.py:30-38,12-13) on the graph induced
-    by uncovered nodes.
+    by uncovered nodes.  Small (training-size) graphs take the dense-reachability
+    MXU path; larger pads use per-edge min-label propagation.
     """
     pad_n = g.pad_n
+    if pad_n <= _DENSE_CASCADE_MAX_N:
+        return _dense_cascade(g, covered, sever)
     alive = g.node_mask & ~covered
 
     def live(sev):

@@ -227,14 +227,20 @@ class GraphPool:
     def __init__(self):
         self._graphs: List[DuplexGraph] = []
         self._stacked: DuplexGraph | None = None
+        self._stacked_s0 = None
+        self._s0_sever_host: np.ndarray | None = None
 
     def insert(self, g: DuplexGraph):
         self._graphs.append(g)
         self._stacked = None
+        self._stacked_s0 = None
+        self._s0_sever_host = None
 
     def clear(self):
         self._graphs = []
         self._stacked = None
+        self._stacked_s0 = None
+        self._s0_sever_host = None
 
     def __len__(self):
         return len(self._graphs)
@@ -248,6 +254,25 @@ class GraphPool:
             # be re-uploaded by every jitted call that takes `stacked`)
             self._stacked = jax.device_put(stack_graphs(self._graphs))
         return self._stacked
+
+    @property
+    def stacked_s0(self):
+        """Batched reset EnvState for every pool graph, computed once per pool
+        in ONE device call.  Rollouts with device-side episode auto-reset gather
+        rows of this instead of re-running the t=0 cascade per episode."""
+        if self._stacked_s0 is None:
+            from mdcommunity_tpu.env.env import batched_reset
+
+            self._stacked_s0 = batched_reset(self.stacked)
+        return self._stacked_s0
+
+    @property
+    def s0_sever_host(self) -> np.ndarray:
+        """Host copy of the t=0 severed-edge masks, bool[P, 2, E] — lets the
+        trajectory bookkeeping seed fresh episodes without a device round trip."""
+        if self._s0_sever_host is None:
+            self._s0_sever_host = np.asarray(self.stacked_s0.sever)
+        return self._s0_sever_host
 
     def get(self, gid: int) -> DuplexGraph:
         return self._graphs[gid]

@@ -176,13 +176,24 @@ def _batched_bridge_bonus(g, state, actions, tau=0.5):
     )
 
 
+def _pack_bits_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """bool[..., M] (M % 8 == 0) -> uint8[..., M//8], np.packbits-compatible
+    (MSB first), so the host can np.unpackbits the transferred history."""
+    b = x.reshape(x.shape[:-1] + (x.shape[-1] // 8, 8)).astype(jnp.int32)
+    w = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return (b * w).sum(-1).astype(jnp.uint8)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_steps", "variant", "degree_cost", "ce_prune",
                      "hca_bridge", "hca_beta", "hca_tau"),
 )
-def rollout_chunk(
+def rollout_autoreset(
     params,
+    pool_g: DuplexGraph,
+    pool_s0: EnvState,
+    gids,
     g: DuplexGraph,
     state: EnvState,
     key,
@@ -195,19 +206,24 @@ def rollout_chunk(
     hca_beta: float = 0.5,
     hca_tau: float = 0.5,
 ):
-    """n_steps eps-greedy env steps as ONE device program (lax.scan): the whole
-    history comes back in a single host transfer instead of one round trip per
-    step (through the TPU relay each trip is ~30 ms).  Terminal envs freeze
-    (env_step is a masked no-op), so chunks can overrun episode ends; the host
-    slices episodes out of the history (play_games).
+    """n_steps eps-greedy env steps as ONE device program (lax.scan) with
+    device-side episode auto-reset: when an env goes terminal it immediately
+    draws a fresh pool graph and its precomputed t=0 state (pool_s0 — the reset
+    cascade runs ONCE per pool, not once per episode), so every step of every
+    env produces useful experience and the host never drives resets.  The whole
+    history comes back in a single transfer (severed-edge masks bit-packed:
+    through the TPU relay each round trip is ~30 ms and bandwidth is scarce);
+    the host slices episodes out of it (play_games).
 
-    Returns (final_state, history dict of [n_steps, B] arrays).
+    Returns ((gids, g, state) carry, history dict of [n_steps, B, ...] arrays).
     """
     from mdcommunity_tpu.env.env import batched_random_actions
 
+    pool_size = pool_g.node_mask.shape[0]
+
     def step(carry, key_s):
-        state = carry
-        kq, ka = jax.random.split(key_s)
+        gids, g, state = carry
+        kq, ka, kg = jax.random.split(key_s, 3)
         q = predict_q(params, g, state.covered, state.sever, variant)
         if ce_prune:
             from mdcommunity_tpu.env.env import prune_q_to_boundary
@@ -222,22 +238,37 @@ def rollout_chunk(
             bonus = _batched_bridge_bonus(g, state, actions, hca_tau)
         else:
             bonus = 0.0
-        was_terminal = state.terminal
+        valid = ~state.terminal  # False only for an s0-terminal fresh graph
         new_state, rewards = batched_step(g, state, actions, degree_cost)
         rewards = rewards + (hca_beta * bonus if hca_bridge else 0.0)
+        done = new_state.terminal
         out = dict(
+            gid=gids,
             actions=actions,
             rewards=rewards,
             covered=new_state.covered,
-            sever=new_state.sever,
-            valid=~was_terminal,
-            terminal=new_state.terminal,
+            sever=_pack_bits_u8(
+                new_state.sever.reshape(new_state.sever.shape[0], -1)
+            ),
+            valid=valid,
+            done=done,
         )
-        return new_state, out
+        # auto-reset: finished envs draw a fresh uniform pool graph
+        new_gids = jax.random.randint(kg, gids.shape, 0, pool_size)
+        gids = jnp.where(done, new_gids, gids)
+        g = jax.tree_util.tree_map(lambda pl: pl[gids], pool_g)
+        state = jax.tree_util.tree_map(
+            lambda s0, cur: jnp.where(
+                done.reshape((-1,) + (1,) * (cur.ndim - 1)), s0[gids], cur
+            ),
+            pool_s0,
+            new_state,
+        )
+        return (gids, g, state), out
 
     keys = jax.random.split(key, n_steps)
-    final_state, hist = jax.lax.scan(step, state, keys)
-    return final_state, hist
+    carry, hist = jax.lax.scan(step, (gids, g, state), keys)
+    return carry, hist
 
 
 @partial(
@@ -382,80 +413,51 @@ class DQNAgent:
             self.valid_pool.insert(g)
 
     # -- rollouts -------------------------------------------------------------
-    def _reset_envs(self, ids_to_reset: Optional[np.ndarray] = None):
+    def _reset_envs(self):
+        """Full env-vector reset (pool changed / first call).  Mid-training
+        episode resets happen on device inside rollout_autoreset."""
         ne = self.cfg.num_env
-        if self._env_state is None or ids_to_reset is None:
-            self._env_gids = self.train_pool.sample_ids(self.nprng, ne)
-            self._env_graphs = index_graphs(
-                self.train_pool.stacked, jnp.asarray(self._env_gids)
-            )
-            self._env_state = batched_reset(self._env_graphs)
-            self._traj = [self._new_traj(i) for i in range(ne)]
-        else:
-            self._env_gids[ids_to_reset] = self.train_pool.sample_ids(
-                self.nprng, len(ids_to_reset)
-            )
-            self._env_graphs = index_graphs(
-                self.train_pool.stacked, jnp.asarray(self._env_gids)
-            )
-            state = self._env_state
-            fresh = batched_reset(self._env_graphs)
-            mask = np.zeros(ne, bool)
-            mask[ids_to_reset] = True
-            m = jnp.asarray(mask)
-
-            def mix(a, b):
-                shape = (-1,) + (1,) * (a.ndim - 1)
-                return jnp.where(m.reshape(shape), b, a)
-
-            self._env_state = jax.tree_util.tree_map(mix, state, fresh)
-            for i in ids_to_reset:
-                self._traj[i] = self._new_traj(i)
+        self._env_gids = self.train_pool.sample_ids(self.nprng, ne)
+        gids = jnp.asarray(self._env_gids)
+        self._env_graphs = index_graphs(self.train_pool.stacked, gids)
+        self._env_state = jax.tree_util.tree_map(
+            lambda x: x[gids], self.train_pool.stacked_s0
+        )
+        self._traj = [self._new_traj(i) for i in range(ne)]
 
     def _new_traj(self, i):
-        st = self._env_state
+        gid = int(self._env_gids[i])
         return {
-            "gid": int(self._env_gids[i]),
-            "covered": [np.asarray(st.covered[i])],
-            "sever": [np.asarray(st.sever[i])],
+            "gid": gid,
+            "covered": [np.zeros(self.cfg.pad_nodes, bool)],
+            "sever": [self.train_pool.s0_sever_host[gid]],
             "actions": [],
             "rewards": [],
         }
 
     def play_games(self, n_traj: int, eps: float):
-        """Collect n_traj finished episodes into replay (reference Run_simulator)."""
+        """Collect >= n_traj finished episodes into replay (reference
+        Run_simulator).  Each loop turn is ONE device program (auto-resetting
+        scan over all envs) + ONE host transfer; with auto-reset every step of
+        every env is useful experience, so a single chunk usually finishes
+        several episodes and extra ones are kept (more data, same compute)."""
         if len(self.train_pool) == 0:
             self.gen_new_graphs()
         if self._env_state is None:
             self._reset_envs()
         ce_prune = self.cfg.variant == "ce" and self.cfg.action_pruning_train
         hca_bridge = self.cfg.variant == "hca" and self.cfg.hca_bridge_effective
+        pool = self.train_pool
+        pad_e2 = 2 * self.cfg.pad_edges
         done = 0
         guard = 0
-        term = np.asarray(self._env_state.terminal)
-        while done < n_traj and guard < 100000:
+        while done < n_traj and guard < 10000:
             guard += 1
-            finished = np.nonzero(term)[0]
-            if len(finished):
-                for i in finished:
-                    t = self._traj[i]
-                    if t["actions"]:
-                        self.replay.add_episode(
-                            t["gid"], t["covered"], t["sever"], t["actions"], t["rewards"]
-                        )
-                        done += 1
-                self._reset_envs(finished)
-                if done >= n_traj:
-                    break
-                # immediately-terminal fresh graphs are handled next loop
-                term = np.asarray(self._env_state.terminal)
-                continue
-
-            # K env steps as one device program + ONE host transfer
             self.key, k = jax.random.split(self.key)
-            new_state, hist = rollout_chunk(
-                self.params, self._env_graphs, self._env_state, k,
-                jnp.float32(eps),
+            (gids, g, state), hist = rollout_autoreset(
+                self.params, pool.stacked, pool.stacked_s0,
+                jnp.asarray(self._env_gids), self._env_graphs, self._env_state,
+                k, jnp.float32(eps),
                 n_steps=self.cfg.rollout_chunk,
                 variant=self.cfg.variant,
                 degree_cost=self.degree_cost,
@@ -464,15 +466,40 @@ class DQNAgent:
                 hca_beta=self.cfg.hca_beta,
                 hca_tau=self.cfg.hca_tau,
             )
-            hist, term = jax.device_get((hist, new_state.terminal))
-            for s in range(hist["actions"].shape[0]):
-                for i in np.nonzero(hist["valid"][s])[0]:
+            hist, self._env_gids = jax.device_get((hist, gids))
+            self._env_graphs, self._env_state = g, state
+            sever = np.unpackbits(hist["sever"], axis=-1, count=pad_e2)
+            sever = sever.reshape(*sever.shape[:-1], 2, self.cfg.pad_edges).astype(bool)
+            n_steps, n_env = hist["actions"].shape
+            s0_sever = pool.s0_sever_host
+            for s in range(n_steps):
+                for i in range(n_env):
                     t = self._traj[i]
-                    t["actions"].append(int(hist["actions"][s, i]))
-                    t["rewards"].append(float(hist["rewards"][s, i]))
-                    t["covered"].append(hist["covered"][s, i])
-                    t["sever"].append(hist["sever"][s, i])
-            self._env_state = new_state
+                    if hist["valid"][s, i]:
+                        t["actions"].append(int(hist["actions"][s, i]))
+                        t["rewards"].append(float(hist["rewards"][s, i]))
+                        t["covered"].append(hist["covered"][s, i])
+                        t["sever"].append(sever[s, i])
+                    if hist["done"][s, i]:
+                        if t["actions"]:
+                            self.replay.add_episode(
+                                t["gid"], t["covered"], t["sever"],
+                                t["actions"], t["rewards"],
+                            )
+                            done += 1
+                        # the device already reset env i to a fresh graph;
+                        # next row's gid (or the final carry) names it
+                        ngid = int(
+                            hist["gid"][s + 1, i] if s + 1 < n_steps
+                            else self._env_gids[i]
+                        )
+                        self._traj[i] = {
+                            "gid": ngid,
+                            "covered": [np.zeros(self.cfg.pad_nodes, bool)],
+                            "sever": [s0_sever[ngid]],
+                            "actions": [],
+                            "rewards": [],
+                        }
 
     # -- fitting ---------------------------------------------------------------
     def take_snapshot(self):
