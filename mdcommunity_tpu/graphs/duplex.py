@@ -279,3 +279,89 @@ class GraphPool:
 
     def sample_ids(self, rng: np.random.Generator, k: int) -> np.ndarray:
         return rng.integers(0, len(self._graphs), size=k)
+
+
+class EpochGraphRing:
+    """Device-resident ring of the last K training-pool epochs.
+
+    The reference's replay stores graph OBJECTS, so old transitions stay bound
+    to their graph across the 1000-iter pool regenerations
+    (MultiDismantler_torch.py gen_new_graphs :151-160 + nstep_replay_mem).  A
+    replay that stores plain pool indices would silently re-bind old
+    transitions to the NEW pool's graphs after each regen — semantically
+    corrupt training data.  This ring keeps the last K pools stacked as one
+    device batch (one bulk donated write per epoch, no per-graph transfers);
+    replay stores absolute slot ids plus the slot's epoch tag so stale
+    references are detectable at sample time.
+    """
+
+    def __init__(self, epochs: int = 8):
+        self.k = epochs
+        self.epoch = -1
+        self.pool_size = 0
+        self._g: DuplexGraph | None = None
+        self._s0 = None
+        self.slot_epoch: np.ndarray | None = None
+        self._s0_sever_host: np.ndarray | None = None
+        self._writer = None
+
+    def __len__(self):
+        return self.pool_size if self.epoch >= 0 else 0
+
+    @property
+    def base(self) -> int:
+        """Slot offset of the current epoch's pool."""
+        return (self.epoch % self.k) * self.pool_size
+
+    @property
+    def stacked(self) -> DuplexGraph:
+        return self._g
+
+    @property
+    def stacked_s0(self):
+        return self._s0
+
+    @property
+    def s0_sever_host(self) -> np.ndarray:
+        return self._s0_sever_host
+
+    def write_epoch(self, graphs: List[DuplexGraph]) -> None:
+        """Install a freshly generated pool as the new current epoch."""
+        from mdcommunity_tpu.env.env import batched_reset
+
+        p = len(graphs)
+        batch = jax.device_put(stack_graphs(graphs))
+        s0 = batched_reset(batch)
+        if self._g is None or self.pool_size != p:
+            self.pool_size = p
+            self.epoch = 0
+            tile = lambda x: jnp.concatenate([x] * self.k, axis=0)
+            self._g = jax.tree_util.tree_map(tile, batch)
+            self._s0 = jax.tree_util.tree_map(tile, s0)
+            self.slot_epoch = np.full(self.k * p, -1, np.int64)
+            self._s0_sever_host = np.zeros(
+                (self.k * p,) + s0.sever.shape[1:], bool
+            )
+
+            def write(ring_g, ring_s0, b, s, idx):
+                upd = lambda r, x: r.at[idx].set(x)
+                return (
+                    jax.tree_util.tree_map(upd, ring_g, b),
+                    jax.tree_util.tree_map(upd, ring_s0, s),
+                )
+
+            self._writer = jax.jit(write, donate_argnums=(0, 1))
+        else:
+            self.epoch += 1
+        base = self.base
+        idx = jnp.arange(base, base + p)
+        self._g, self._s0 = self._writer(self._g, self._s0, batch, s0, idx)
+        self.slot_epoch[base : base + p] = self.epoch
+        self._s0_sever_host[base : base + p] = np.asarray(s0.sever)
+
+    def sample_slots(self, rng: np.random.Generator, k: int) -> np.ndarray:
+        return self.base + rng.integers(0, self.pool_size, size=k)
+
+    def slots_live(self, slots: np.ndarray, epochs: np.ndarray) -> np.ndarray:
+        """bool[k]: slot still holds the graph from `epochs` (not overwritten)."""
+        return self.slot_epoch[slots] == epochs

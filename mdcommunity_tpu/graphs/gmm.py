@@ -114,7 +114,7 @@ def gmm_duplex_edges(
     n: int,
     rng: Optional[np.random.Generator] = None,
     nu: float = 0.2,
-    g: float = 0.5,
+    g: Optional[float] = 0.5,
     gamma1: float = 2.5,
     gamma2: float = 2.5,
     T1: float = 0.4,
@@ -128,6 +128,10 @@ def gmm_duplex_edges(
     degree-cost variant.
     """
     rng = rng or np.random.default_rng()
+    # g=None: per-graph angular correlation ~ U(0,1) — the setting the
+    # reference's committed "g0-1" checkpoints were trained with (its GMM.py:12
+    # keeps the random.uniform(0,1) draw commented out, pinned to 0.5)
+    g = rng.uniform(0.0, 1.0) if g is None else g
     kbar1 = rng.uniform(2.0, 10.0) if kbar1 is None else kbar1
     kbar2 = rng.uniform(2.0, 10.0) if kbar2 is None else kbar2
     kmin1, kmin2 = _kmin(kbar1, gamma1), _kmin(kbar2, gamma2)
@@ -148,6 +152,7 @@ def generate_training_graph(
     pad_edges: int,
     degree_cost: bool = False,
     prior_feature: str = "none",
+    g_corr: Optional[float] = 0.5,
 ):
     """One padded training DuplexGraph with size ~ U[num_min, num_max].
 
@@ -161,7 +166,7 @@ def generate_training_graph(
 
     n = int(rng.integers(num_min, num_max + 1))
     kw = dict(kbar1=6.0, kbar2=6.0) if degree_cost else {}
-    e0, e1 = gmm_duplex_edges(n, rng, **kw)
+    e0, e1 = gmm_duplex_edges(n, rng, g=g_corr, **kw)
     if 2 * max(len(e0), len(e1)) > pad_edges:
         return None
     weights = None
@@ -211,6 +216,7 @@ def generate_pool(
     pad_edges: int,
     degree_cost: bool = False,
     prior_feature: str = "none",
+    g_corr: Optional[float] = 0.5,
 ) -> List:
     import dataclasses
 
@@ -225,7 +231,7 @@ def generate_pool(
             attempts += 1
             g = generate_training_graph(
                 rng, num_min, num_max, pad_nodes, pad_edges, degree_cost,
-                prior_feature,
+                prior_feature, g_corr,
             )
             if g is not None:
                 batch.append(g)

@@ -65,6 +65,11 @@ def edge_weights(
 
 def l2_normalize(x, axis=-1, eps: float = 1e-12):
     """Row-wise L2 normalization matching torch.nn.functional.normalize:
-    x / max(||x||, eps).  Zero rows stay zero."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    x / max(||x||, eps).  Zero rows stay zero.
+
+    Written as x * rsqrt(max(Σx², eps²)) — NOT x / max(norm(x), eps): the norm's
+    VJP at an exact-zero row is 0/0 = NaN, and 0-cotangent · NaN = NaN, so the
+    naive form poisons every backward pass through the padded (dead-node) rows.
+    With the clamp inside the sqrt the zero-row gradient is exactly 0."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))

@@ -37,7 +37,12 @@ import optax
 
 from mdcommunity_tpu.env.batch import make_batch_inputs
 from mdcommunity_tpu.env.env import EnvState, batched_reset, batched_step
-from mdcommunity_tpu.graphs.duplex import DuplexGraph, GraphPool, index_graphs
+from mdcommunity_tpu.graphs.duplex import (
+    DuplexGraph,
+    EpochGraphRing,
+    GraphPool,
+    index_graphs,
+)
 from mdcommunity_tpu.graphs.gmm import generate_pool
 from mdcommunity_tpu.models.net import (
     init_params,
@@ -198,6 +203,8 @@ def rollout_autoreset(
     state: EnvState,
     key,
     eps,
+    gid_lo=0,
+    gid_hi=None,
     n_steps: int = 8,
     variant: str = "unit_cost",
     degree_cost: bool = False,
@@ -215,11 +222,16 @@ def rollout_autoreset(
     through the TPU relay each round trip is ~30 ms and bandwidth is scarce);
     the host slices episodes out of it (play_games).
 
+    Resets sample gids uniformly from [gid_lo, gid_hi) — the current-epoch
+    window of an EpochGraphRing (dynamic scalars: no recompile per epoch);
+    defaults cover a plain stacked pool.
+
     Returns ((gids, g, state) carry, history dict of [n_steps, B, ...] arrays).
     """
     from mdcommunity_tpu.env.env import batched_random_actions
 
-    pool_size = pool_g.node_mask.shape[0]
+    if gid_hi is None:
+        gid_hi = pool_g.node_mask.shape[0]
 
     def step(carry, key_s):
         gids, g, state = carry
@@ -253,8 +265,8 @@ def rollout_autoreset(
             valid=valid,
             done=done,
         )
-        # auto-reset: finished envs draw a fresh uniform pool graph
-        new_gids = jax.random.randint(kg, gids.shape, 0, pool_size)
+        # auto-reset: finished envs draw a fresh uniform current-pool graph
+        new_gids = jax.random.randint(kg, gids.shape, gid_lo, gid_hi)
         gids = jnp.where(done, new_gids, gids)
         g = jax.tree_util.tree_map(lambda pl: pl[gids], pool_g)
         state = jax.tree_util.tree_map(
@@ -370,7 +382,7 @@ class DQNAgent:
             self.replay = NStepReplay(
                 cfg.memory_size, cfg.pad_nodes, cfg.pad_edges, cfg.n_step
             )
-        self.train_pool = GraphPool()
+        self.train_pool = EpochGraphRing(cfg.pool_ring_epochs)
         self.valid_pool = GraphPool()
         self.iteration = 0
         self._env_state: Optional[EnvState] = None
@@ -392,14 +404,18 @@ class DQNAgent:
         return "none"
 
     def gen_new_graphs(self):
-        """Refresh the training pool (reference gen_new_graphs :151-160)."""
-        self.train_pool.clear()
-        for g in generate_pool(
+        """Refresh the training pool (reference gen_new_graphs :151-160).
+
+        Installs the fresh pool as a new EpochGraphRing epoch — previous
+        epochs' graphs stay device-resident so replayed transitions keep
+        referring to THEIR graphs (the reference stores graph objects in
+        replay, nstep_replay_mem.py:43-55)."""
+        graphs = generate_pool(
             self.nprng, self.cfg.n_train, self.cfg.num_min, self.cfg.num_max,
             self.cfg.pad_nodes, self.cfg.pad_edges, self.degree_cost,
-            self._prior_feature,
-        ):
-            self.train_pool.insert(g)
+            self._prior_feature, g_corr=self.cfg.gmm_g,
+        )
+        self.train_pool.write_epoch(graphs)
         # envs hold ids into the old pool; force re-reset
         self._env_state = None
 
@@ -408,7 +424,7 @@ class DQNAgent:
         for g in generate_pool(
             self.nprng, self.cfg.n_valid, self.cfg.num_min, self.cfg.num_max,
             self.cfg.pad_nodes, self.cfg.pad_edges, self.degree_cost,
-            self._prior_feature,
+            self._prior_feature, g_corr=self.cfg.gmm_g,
         ):
             self.valid_pool.insert(g)
 
@@ -417,7 +433,7 @@ class DQNAgent:
         """Full env-vector reset (pool changed / first call).  Mid-training
         episode resets happen on device inside rollout_autoreset."""
         ne = self.cfg.num_env
-        self._env_gids = self.train_pool.sample_ids(self.nprng, ne)
+        self._env_gids = self.train_pool.sample_slots(self.nprng, ne)
         gids = jnp.asarray(self._env_gids)
         self._env_graphs = index_graphs(self.train_pool.stacked, gids)
         self._env_state = jax.tree_util.tree_map(
@@ -458,6 +474,8 @@ class DQNAgent:
                 self.params, pool.stacked, pool.stacked_s0,
                 jnp.asarray(self._env_gids), self._env_graphs, self._env_state,
                 k, jnp.float32(eps),
+                gid_lo=jnp.int32(pool.base),
+                gid_hi=jnp.int32(pool.base + pool.pool_size),
                 n_steps=self.cfg.rollout_chunk,
                 variant=self.cfg.variant,
                 degree_cost=self.degree_cost,
@@ -485,6 +503,7 @@ class DQNAgent:
                             self.replay.add_episode(
                                 t["gid"], t["covered"], t["sever"],
                                 t["actions"], t["rewards"],
+                                graph_epoch=pool.epoch,
                             )
                             done += 1
                         # the device already reset env i to a fresh graph;
@@ -510,7 +529,10 @@ class DQNAgent:
             pb = self.replay.sample_prioritized(self.nprng, self.cfg.batch_size)
             batch, tree_idx, iw = pb.batch, pb.tree_idx, jnp.asarray(pb.is_weights)
         else:
-            batch = self.replay.sample(self.nprng, self.cfg.batch_size)
+            batch = self.replay.sample(
+                self.nprng, self.cfg.batch_size,
+                slots_live=self.train_pool.slots_live,
+            )
             tree_idx, iw = None, None
         g = index_graphs(self.train_pool.stacked, jnp.asarray(batch.graph_ids))
         if self.mesh is not None:

@@ -46,6 +46,9 @@ class NStepReplay:
         self._packed_n = (pad_nodes + 7) // 8
 
         self.graph_ids = np.zeros(capacity, np.int32)
+        # pool epoch the graph slot belonged to when the transition was stored
+        # (EpochGraphRing staleness tag; stays 0 for fixed pools)
+        self.graph_epochs = np.zeros(capacity, np.int64)
         self.covered_st = np.zeros((capacity, self._packed_n), np.uint8)
         self.sever_st = np.zeros((capacity, self._packed_e), np.uint8)
         self.actions = np.zeros(capacity, np.int32)
@@ -78,6 +81,7 @@ class NStepReplay:
         sever_seq: List[np.ndarray],     # length T+1: sever masks aligned with covered_seq
         actions: List[int],              # length T
         rewards: List[float],            # length T
+        graph_epoch: int = 0,
     ):
         """Flush one finished episode into the ring (reference add_from_env)."""
         T = len(actions)
@@ -93,12 +97,13 @@ class NStepReplay:
                 covered_seq[i], sever_seq[i],
                 actions[i], float(r),
                 covered_seq[j], sever_seq[j],
-                term,
+                term, graph_epoch,
             )
 
-    def _add(self, gid, cov_st, sev_st, a, r, cov_sp, sev_sp, term):
+    def _add(self, gid, cov_st, sev_st, a, r, cov_sp, sev_sp, term, epoch=0):
         c = self.current
         self.graph_ids[c] = gid
+        self.graph_epochs[c] = epoch
         self.covered_st[c] = self._pack_n(cov_st)
         self.sever_st[c] = self._pack_e(sev_st)
         self.actions[c] = a
@@ -110,9 +115,31 @@ class NStepReplay:
         self.current = (c + 1) % self.capacity
 
     # -- sampling -------------------------------------------------------------
-    def sample(self, rng: np.random.Generator, batch_size: int) -> ReplayBatch:
+    def sample(
+        self,
+        rng: np.random.Generator,
+        batch_size: int,
+        slots_live=None,
+    ) -> ReplayBatch:
+        """Uniform sample without replacement (reference sampling :83-97).
+
+        slots_live: optional callable (slots, epochs) -> bool mask from
+        EpochGraphRing; transitions whose graph slot was overwritten by a later
+        pool epoch are excluded (the reference never faces this — it stores
+        graph objects — so exclusion keeps the same effective distribution)."""
         assert self.count >= batch_size, "not enough experience"
+        if slots_live is not None:
+            live = slots_live(
+                self.graph_ids[: self.count], self.graph_epochs[: self.count]
+            )
+            pool = np.nonzero(live)[0]
+            if len(pool) >= batch_size:
+                idx = rng.choice(pool, size=batch_size, replace=False)
+                return self._gather(idx)
         idx = rng.choice(self.count, size=batch_size, replace=False)
+        return self._gather(idx)
+
+    def _gather(self, idx: np.ndarray) -> ReplayBatch:
         return ReplayBatch(
             graph_ids=self.graph_ids[idx],
             covered_st=self._unpack_n(self.covered_st[idx]),

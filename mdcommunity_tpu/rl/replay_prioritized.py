@@ -96,17 +96,9 @@ class PrioritizedNStepReplay(NStepReplay):
         weights = np.power(self.count * prob, -self.beta)
         weights = (weights / weights.max()).astype(np.float32)
         idx = data_idx
-        batch = ReplayBatch(
-            graph_ids=self.graph_ids[idx],
-            covered_st=self._unpack_n(self.covered_st[idx]),
-            sever_st=self._unpack_e(self.sever_st[idx]),
-            actions=self.actions[idx],
-            rewards=self.rewards[idx],
-            covered_sp=self._unpack_n(self.covered_sp[idx]),
-            sever_sp=self._unpack_e(self.sever_sp[idx]),
-            terminal=self.terminal[idx],
+        return PrioritizedBatch(
+            batch=self._gather(idx), tree_idx=idx, is_weights=weights
         )
-        return PrioritizedBatch(batch=batch, tree_idx=idx, is_weights=weights)
 
     def update_priorities(self, data_idx: np.ndarray, td_errors: np.ndarray):
         p = np.minimum(np.abs(td_errors) + self.epsilon, self.td_upper)

@@ -64,6 +64,14 @@ class Config:
     num_env: int = 32                 # parallel envs (reference: 1; we vectorize)
     rollout_chunk: int = 8            # env steps per on-device scan chunk (one
                                       # host transfer per chunk, not per step)
+    pool_ring_epochs: int = 8         # pool epochs kept device-resident so
+                                      # replayed transitions stay bound to their
+                                      # graphs across regens (EpochGraphRing)
+    gmm_g: Optional[float] = 0.5      # GMM angular correlation; None = U(0,1)
+                                      # per graph (the capsule pins g=0.5,
+                                      # GMM.py:12-13, but its committed "g0-1"
+                                      # checkpoints/curves were trained with the
+                                      # commented-out random.uniform(0,1) line)
 
     # ---- padding (static shapes for jit) ------------------------------------
     # max nodes / max *directed* edges per layer after padding. 0 = derive.
