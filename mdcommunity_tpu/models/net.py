@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from mdcommunity_tpu.env.batch import BatchInputs
 from mdcommunity_tpu.graphs.duplex import DuplexGraph
-from mdcommunity_tpu.models.fusion import bitwise_logis_fuse, init_bitwise_logis
+from mdcommunity_tpu.models.fusion import FUSION_INITS, fuse
 from mdcommunity_tpu.ops.aggregate import l2_normalize, segment_spmm
 
 Params = Dict[str, jnp.ndarray]
@@ -56,6 +56,7 @@ def init_params(
     node_feat_dim: int = 2,
     gate_hidden: int = 128,
     w_init_std: float = 1.0,
+    fusion: str = "bitwise_logis",
 ) -> Params:
     ks = jax.random.split(key, 10)
     d = embedding_size
@@ -69,7 +70,7 @@ def init_params(
         "cross_product": _trunc_normal(ks[6], (d, 1), w_init_std),
         "w_layer1": _trunc_normal(ks[7], (d, gate_hidden), w_init_std),
         "w_layer2": _trunc_normal(ks[8], (gate_hidden, 1), w_init_std),
-        "fusion": init_bitwise_logis(ks[9], d),
+        "fusion": FUSION_INITS[fusion](ks[9], d),
     }
     return p
 
@@ -144,8 +145,8 @@ def _embed(params: Params, g: DuplexGraph, inputs: BatchInputs, max_bp_iter: int
         virt_embs.append(y)
 
     # cross-layer fusion over node rows and virtual rows (row-wise module)
-    h0, h1 = bitwise_logis_fuse(params["fusion"], node_embs[0], node_embs[1])
-    y0, y1 = bitwise_logis_fuse(params["fusion"], virt_embs[0], virt_embs[1])
+    h0, h1 = fuse(params["fusion"], node_embs[0], node_embs[1])
+    y0, y1 = fuse(params["fusion"], virt_embs[0], virt_embs[1])
     h_f = jnp.stack([l2_normalize(h0), l2_normalize(h1)])  # [2, B, N, D]
     y_f = jnp.stack([l2_normalize(y0), l2_normalize(y1)])  # [2, B, D]
     # keep dead nodes exactly zero after fusion (tanh bias can leak otherwise)

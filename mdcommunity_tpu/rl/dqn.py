@@ -365,6 +365,7 @@ class DQNAgent:
                 node_feat_dim=cfg.node_feat_dim,
                 gate_hidden=cfg.gate_hidden,
                 w_init_std=cfg.w_init_std,
+                fusion=cfg.fusion,
             )
         self.target_params = jax.tree_util.tree_map(jnp.copy, self.params)
         self.optimizer = optax.adam(cfg.learning_rate)

@@ -35,6 +35,10 @@ class Config:
     gate_hidden: int = 128            # w_layer1 hidden width (net :86-89)
     w_init_std: float = 1.0           # truncated-normal-ish init std (net :30)
     aggregator_id: int = 0            # 0 sum | 1 mean | 2 GCN-norm (PrepareBatchGraph.py:236-245)
+    fusion: str = "bitwise_logis"     # cross-layer fusion: bitwise_logis (the
+                                      # reference's live module) |
+                                      # layer_node_attention | cosine | semantic
+                                      # (MRGNN/mutil_layer_weight.py alternatives)
 
     # ---- DQN ----------------------------------------------------------------
     gamma: float = 1.0                # GAMMA
