@@ -1,0 +1,178 @@
+"""gp-sharded block-banded dense SpMM — halo exchange over ICI.
+
+This is the scalable form of ops/dense_band.py (BASELINE.json north star:
+edge-partitioned duplex layers, boundary-feature halo exchange over ICI
+overlapped with local aggregation, >=80% edges/s scaling efficiency):
+
+  * NODES (and hence band blocks and edges) are sharded contiguously over the
+    'gp' mesh axis — locality ordering (graphs/ordering.py) makes the shard
+    boundary a narrow band cut.
+  * The only cross-chip traffic per SpMM is
+      - two `ppermute`s of B boundary rows ([B, D] each — the halo; B is the
+        band half-width, thousands of times smaller than N/P), and
+      - one `all_gather` of the compacted mirror table ([nb*C, D] — overflow
+        edges ride the mirror compaction of dense_band, so long-range edges
+        cost one small gather instead of any full-table traffic).
+    XLA schedules both on ICI and overlaps them with the local block einsums.
+  * Compare parallel/partition.py (`spmm_edge_partitioned`): that baseline
+    psums the FULL [N, D] output every call — correct, but its collective
+    volume grows with N; this one's is O(B·D + nb·C·D), independent of N/P.
+
+The public entry `spmm_band_sharded(mesh, dbg, row, col, h)` mirrors
+`ops.dense_band.spmm_dense_band` (same math, same custom symmetric VJP) with
+all operands sharded over 'gp'; `shard_band_graph` / `shard_band_vectors`
+place the operands.
+
+Reference analogue: none — the reference is single-GPU (SURVEY.md §2.7); the
+hot kernel being distributed is its `torch_sparse.spmm`
+(MultiDismantler_net_graphsage.py:139-377).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mdcommunity_tpu.ops.dense_band import DenseBandGraph
+from mdcommunity_tpu.ops.spmm_csr import _seg
+
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _band3_local(
+    base_l, ccoo_src, ccoo_dst, w_cov, g_lanes, hc,
+    *, S, B, C, n_mirror, nparts, precise,
+):
+    """Local band + mirror contraction of an already col-scaled h shard.
+
+    hc: [local_n, D].  Returns [local_n, D] (rows this chip owns).
+    Symmetric in the stored operator, so the backward reuses it verbatim.
+    """
+    axis = "gp"
+    dt = jnp.float32 if precise else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if precise else None
+    mm = partial(jnp.einsum, preferred_element_type=jnp.float32, precision=prec)
+
+    hcd = hc.astype(dt)
+    nb_l = hcd.shape[0] // S
+    xb = hcd.reshape(nb_l, S, -1)
+    fwd_perm = [(i, (i + 1) % nparts) for i in range(nparts)]
+    bwd_perm = [(i, (i - 1) % nparts) for i in range(nparts)]
+    # halo: my tail B rows -> right neighbor (I receive my LEFT neighbor's
+    # tail); my head B rows -> left neighbor (I receive my RIGHT's head).
+    left = jax.lax.ppermute(hcd[-B:], axis, fwd_perm)
+    right = jax.lax.ppermute(hcd[:B], axis, bwd_perm)
+    prev_tail = jnp.concatenate([left[None], xb[:-1, S - B:]], axis=0)
+    nxt_head = jnp.concatenate([xb[1:, :B], right[None]], axis=0)
+    hw = jnp.concatenate([prev_tail, xb, nxt_head], axis=1)  # [nb_l, S+2B, D]
+
+    out_ext = mm("bkw,bwd->bkd", base_l.astype(dt), hw)
+    out = out_ext[:, :S]
+    if C and n_mirror:
+        d = out.shape[-1]
+        sub_local = out_ext[:, S:].reshape(nb_l * C, d)
+        sub = jax.lax.all_gather(sub_local, axis, tiled=True)  # [nb*C, D]
+        out_sub = _seg(sub[ccoo_src] * w_cov[:, None], ccoo_dst, n_mirror)
+        p = jax.lax.axis_index(axis)
+        mine = jax.lax.dynamic_slice_in_dim(out_sub, p * nb_l * C, nb_l * C)
+        out = out + mm(
+            "bcs,bcd->bsd", g_lanes.astype(dt), mine.reshape(nb_l, C, d).astype(dt)
+        )
+    return out.reshape(nb_l * S, -1)
+
+
+@lru_cache(maxsize=32)
+def _build(mesh: Mesh, S: int, B: int, C: int, n_mirror: int, precise: bool):
+    nparts = mesh.shape["gp"]
+    local = partial(
+        _band3_local, S=S, B=B, C=C, n_mirror=n_mirror, nparts=nparts,
+        precise=precise,
+    )
+    band3 = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("gp"), P(), P(), P(), P("gp"), P("gp")),
+        out_specs=P("gp"),
+    )
+
+    @jax.custom_vjp
+    def op(base, ccoo_src, ccoo_dst, w_cov, g_lanes, row, col, h):
+        hc = h * col[:, None]
+        return band3(base, ccoo_src, ccoo_dst, w_cov, g_lanes, hc) * row[:, None]
+
+    def fwd(base, ccoo_src, ccoo_dst, w_cov, g_lanes, row, col, h):
+        out = op(base, ccoo_src, ccoo_dst, w_cov, g_lanes, row, col, h)
+        return out, (base, ccoo_src, ccoo_dst, w_cov, g_lanes, row, col)
+
+    def bwd(res, g):
+        base, ccoo_src, ccoo_dst, w_cov, g_lanes, row, col = res
+        # (R A C)^T = C A R for the symmetric stored operator
+        gr = g * row[:, None]
+        dh = band3(base, ccoo_src, ccoo_dst, w_cov, g_lanes, gr) * col[:, None]
+        return (None, None, None, None, None, None, None, dh)
+
+    op.defvjp(fwd, bwd)
+    return jax.jit(op)
+
+
+def spmm_band_sharded(
+    mesh: Mesh,
+    dbg: DenseBandGraph,
+    row: jnp.ndarray,
+    col: jnp.ndarray,
+    h: jnp.ndarray,
+    precise: bool = False,
+) -> jnp.ndarray:
+    """out = (A * row⊗col) @ h, node dimension sharded over mesh axis 'gp'.
+
+    Same semantics/VJP as ops.dense_band.spmm_dense_band (band + mirror
+    overflow; differentiable in h only).  Requires n_blocks % gp == 0 and an
+    empty spill set (build the band so overflow fits the mirror lanes —
+    build_dense_band's defaults do for locality-ordered graphs).
+    """
+    if dbg.spill.d_src.shape[0]:
+        raise ValueError(
+            "sharded band SpMM requires an empty spill set; raise C or B in "
+            "build_dense_band"
+        )
+    nparts = mesh.shape["gp"]
+    if dbg.n_blocks % nparts:
+        raise ValueError(f"n_blocks={dbg.n_blocks} not divisible by gp={nparts}")
+    g_lanes = dbg.base[:, dbg.S:, dbg.B: dbg.B + dbg.S]
+    n_mirror = dbg.n_blocks * dbg.C if dbg.ccoo.d_src.shape[0] else 0
+    op = _build(mesh, dbg.S, dbg.B, dbg.C, n_mirror, bool(precise))
+    return op(
+        dbg.base, dbg.ccoo.d_src, dbg.ccoo.d_dst, dbg.w_cov, g_lanes,
+        row, col, h,
+    )
+
+
+def shard_band_graph(mesh: Mesh, dbg: DenseBandGraph) -> DenseBandGraph:
+    """Place the band operator: blocks sharded over 'gp', overflow replicated."""
+    import dataclasses
+
+    blk = NamedSharding(mesh, P("gp"))
+    rep = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        dbg,
+        base=jax.device_put(dbg.base, blk),
+        ccoo=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), dbg.ccoo),
+        w_cov=jax.device_put(dbg.w_cov, rep),
+        c_usrc=jax.device_put(dbg.c_usrc, rep),
+        c_udst=jax.device_put(dbg.c_udst, rep),
+        spill=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), dbg.spill),
+        w_spill=jax.device_put(dbg.w_spill, rep),
+    )
+
+
+def shard_band_vectors(mesh: Mesh, *arrs):
+    """Place node-dimension vectors/features sharded over 'gp'."""
+    sh = NamedSharding(mesh, P("gp"))
+    out = tuple(jax.device_put(a, sh) for a in arrs)
+    return out if len(out) > 1 else out[0]

@@ -2,8 +2,13 @@
 
 BASELINE.json's north star asks for >=80% edges/s scaling efficiency from
 1 chip -> 1 host -> N hosts on 10^6+-node duplex graphs.  This script measures
-edges/s of the gp-edge-partitioned aggregation (parallel/partition.py) at
-mesh sizes 1, 2, 4, ... and reports efficiency vs the 1-device run.
+fwd+bwd edges/s of BOTH gp-partitioned aggregation engines at mesh sizes
+1, 2, 4, ... and reports efficiency vs the 1-device run:
+
+  band  — halo-exchange block-banded engine (parallel/band_partition.py):
+          collective volume O(B*D) per chip, independent of N (the scalable
+          design; this is the headline number)
+  coo   — full-output-psum COO baseline (parallel/partition.py)
 
 On real TPU slices run it under a full mesh (after
 `mdcommunity_tpu.parallel.mesh.init_distributed()` on every host); for
@@ -48,41 +53,81 @@ def main():
     from mdcommunity_tpu.parallel.mesh import make_mesh
     from mdcommunity_tpu.parallel.partition import shard_edges, spmm_edge_partitioned
 
+    from mdcommunity_tpu.ops.dense_band import build_dense_band, live_scales
+    from mdcommunity_tpu.parallel.band_partition import (
+        shard_band_graph, shard_band_vectors, spmm_band_sharded,
+    )
+
     rng = np.random.default_rng(0)
     n, e, d = args.nodes, args.edges, args.dim
-    src = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
-    dst = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
-    w = jnp.asarray(rng.random(e, dtype=np.float32))
-    h = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    # locality-ordered surrogate: circular power-law offsets (same workload
+    # family as bench.py)
+    usrc = rng.integers(0, n, e // 2).astype(np.int64)
+    off = (8.0 * (rng.pareto(2.5, e // 2) + 1.0)).astype(np.int64)
+    off = np.minimum(off, n // 2 - 1) * rng.choice(np.array([-1, 1]), e // 2)
+    udst = (usrc + off) % n
+    keep = usrc != udst
+    usrc, udst = usrc[keep], udst[keep]
+    src_np = np.concatenate([usrc, udst])
+    dst_np = np.concatenate([udst, usrc])
+    e_real = len(src_np)
+    src = jnp.asarray(src_np.astype(np.int32))
+    dst = jnp.asarray(dst_np.astype(np.int32))
+    w = jnp.asarray(rng.random(e_real).astype(np.float32))
+    h0 = rng.standard_normal((n, d)).astype(np.float32)
+    covered = rng.random(n) < 0.1
+
+    dbg = build_dense_band(src_np, dst_np, None, n, S=256, B=128, max_mirror=256)
+    assert dbg.spill.d_src.shape[0] == 0
 
     n_dev = len(jax.devices())
-    results = []
-    base = None
-    gp = 1
-    while gp <= n_dev:
-        mesh = make_mesh(dp=1, gp=gp, devices=jax.devices()[:gp])
-        with mesh:
-            s, dd, ww = shard_edges(mesh, src, dst, w)
-            f = jax.jit(lambda s, dd, ww, h: jnp.sum(spmm_edge_partitioned(mesh, s, dd, ww, h)))
-            float(f(s, dd, ww, h))  # compile
-            t0 = time.perf_counter()
-            acc = 0.0
-            for i in range(args.iters):
-                acc += float(f(s, dd, ww, h * (1.0 + 0.01 * i)))
-            dt = (time.perf_counter() - t0) / args.iters
-        eps = e / dt
-        if base is None:
-            base = eps
-        eff = eps / (base * gp)
-        results.append(dict(gp=gp, edges_per_s=round(eps, 1),
-                            efficiency=round(eff, 4)))
-        gp *= 2
-    print(json.dumps(dict(
-        metric="edge_partitioned_spmm_scaling",
-        devices=n_dev,
-        platform=jax.default_backend(),
-        results=results,
-    )))
+    out = dict(metric="edge_partitioned_spmm_scaling", devices=n_dev,
+               platform=jax.default_backend(), edges=e_real, nodes=n)
+    for engine in ("band", "coo"):
+        results = []
+        base = None
+        gp = 1
+        while gp <= n_dev:
+            mesh = make_mesh(dp=1, gp=gp, devices=jax.devices()[:gp])
+            with mesh:
+                if engine == "band":
+                    dbg_s = shard_band_graph(mesh, dbg)
+                    row, col = live_scales(dbg, jnp.asarray(covered), "sum")
+                    row_s, col_s, h_s = shard_band_vectors(
+                        mesh, row, col, jnp.asarray(h0)
+                    )
+
+                    def loss(hh):
+                        y = spmm_band_sharded(mesh, dbg_s, row_s, col_s, hh)
+                        return jnp.sum(y * y)
+
+                    f = jax.jit(jax.value_and_grad(loss))
+                    args_t = (h_s,)
+                else:
+                    s_, dd_, ww_ = shard_edges(mesh, src, dst, w)
+
+                    def loss(hh):
+                        y = spmm_edge_partitioned(mesh, s_, dd_, ww_, hh)
+                        return jnp.sum(y * y)
+
+                    f = jax.jit(jax.value_and_grad(loss))
+                    args_t = (jnp.asarray(h0),)
+                v, g = f(*args_t)
+                jax.block_until_ready(g)  # compile
+                t0 = time.perf_counter()
+                for i in range(args.iters):
+                    v, g = f(*args_t)
+                    acc = float(v)
+                dt = (time.perf_counter() - t0) / args.iters
+            eps = e_real / dt
+            if base is None:
+                base = eps
+            eff = eps / (base * gp)
+            results.append(dict(gp=gp, edges_per_s=round(eps, 1),
+                                efficiency=round(eff, 4)))
+            gp *= 2
+        out[engine] = results
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

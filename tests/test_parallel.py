@@ -146,3 +146,64 @@ def test_agent_mesh_training_matches_single_device():
         lambda x, y: float(jnp.abs(x - y).max()), a.params, b.params)
     md = max(jax.tree_util.tree_leaves(diffs))
     assert md < 1e-3, (md, diffs)
+
+
+def test_band_sharded_spmm_matches_single_device():
+    """gp-sharded halo-exchange band SpMM == single-device dense_band engine,
+    forward and VJP (mirror-overflow path included)."""
+    from mdcommunity_tpu.ops.dense_band import (
+        build_dense_band,
+        live_scales,
+        spmm_dense_band,
+    )
+    from mdcommunity_tpu.parallel.band_partition import (
+        shard_band_graph,
+        shard_band_vectors,
+        spmm_band_sharded,
+    )
+    from mdcommunity_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    n, e, d, S, B = 2048, 8192, 32, 128, 64
+    src = rng.integers(0, n, e).astype(np.int64)
+    # mostly-banded offsets + a tail of long-range (mirror overflow) edges
+    off = rng.integers(-B // 2, B // 2, e)
+    off[: e // 16] = rng.integers(0, n, e // 16)
+    dst = (src + off) % n
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ssrc = np.concatenate([src, dst])
+    sdst = np.concatenate([dst, src])
+    dbg = build_dense_band(ssrc, sdst, None, n, S=S, B=B)
+    assert dbg.spill.d_src.shape[0] == 0, "test graph must fit mirror lanes"
+    assert dbg.ccoo.d_src.shape[0] > 0, "test must exercise the mirror path"
+
+    covered = rng.random(n) < 0.1
+    row, col = live_scales(dbg, jnp.asarray(covered), "sum")
+    h = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+    def loss_single(h):
+        return jnp.sum(spmm_dense_band(dbg, row, col, h, precise=True) ** 2)
+
+    ref, dref = jax.value_and_grad(loss_single)(h)
+
+    mesh = make_mesh(dp=1, gp=8)
+    dbg_s = shard_band_graph(mesh, dbg)
+    row_s, col_s, h_s = shard_band_vectors(mesh, row, col, h)
+
+    out_s = spmm_band_sharded(mesh, dbg_s, row_s, col_s, h_s, precise=True)
+    out_1 = spmm_dense_band(dbg, row, col, h, precise=True)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_1), rtol=1e-4, atol=1e-4
+    )
+
+    def loss_sharded(h):
+        return jnp.sum(
+            spmm_band_sharded(mesh, dbg_s, row_s, col_s, h, precise=True) ** 2
+        )
+
+    val_s, dh_s = jax.value_and_grad(loss_sharded)(h_s)
+    np.testing.assert_allclose(float(val_s), float(ref), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dh_s), np.asarray(dref), rtol=1e-4, atol=1e-4
+    )
