@@ -29,7 +29,16 @@ def cmd_train(args):
     from mdcommunity_tpu.rl.dqn import DQNAgent
     from mdcommunity_tpu.utils.config import Config, smoke_requested
 
+    import dataclasses as _dc
+
     cfg = Config(variant=args.variant, seed=args.seed)
+    over = {}
+    if args.max_iteration:
+        over["max_iteration"] = args.max_iteration
+    if args.gmm_g is not None:
+        over["gmm_g"] = None if args.gmm_g < 0 else args.gmm_g
+    if over:
+        cfg = _dc.replace(cfg, **over)
     if args.smoke or smoke_requested():
         cfg = cfg.smoke
     save_dir = args.save_dir or f"./models_tpu/{args.variant}_GMM_{cfg.num_min}_{cfg.num_max}"
@@ -201,6 +210,10 @@ def main(argv=None):
     t.add_argument("--resume", action="store_true")
     t.add_argument("--save-dir", default=None)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--max-iteration", type=int, default=0,
+                   help="override Config.max_iteration (0 = default)")
+    t.add_argument("--gmm-g", type=float, default=None,
+                   help="GMM angular correlation; negative = U(0,1) per graph")
     t.set_defaults(fn=cmd_train)
 
     r = sub.add_parser("test-real")
