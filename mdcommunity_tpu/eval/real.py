@@ -57,7 +57,7 @@ def evaluate_real(
         # large nets: RCM-reorder + dense-band aggregation (graphs/banded.py)
         # with the cascade on host (env/host_env.py) — the reference's CPU-env
         # / device-net split, with the device side jitted end-to-end
-        from mdcommunity_tpu.env.host_env import HostDuplexEnv
+        from mdcommunity_tpu.env.host_env import make_host_env
         from mdcommunity_tpu.eval.metrics import dismantle_greedy_banded
         from mdcommunity_tpu.graphs.banded import build_banded_duplex
         from mdcommunity_tpu.graphs.io import read_multiplex_edges
@@ -69,7 +69,7 @@ def evaluate_real(
         banded, perm, (oe0, oe1) = build_banded_duplex(
             n_nodes, e0, e1, weights=weights
         )
-        env = HostDuplexEnv(
+        env = make_host_env(
             n_nodes, oe0, oe1,
             weights=np.asarray(banded.weights)[:, :n_nodes]
             if variant == "degree_cost" else None,

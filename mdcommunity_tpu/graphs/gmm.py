@@ -22,6 +22,12 @@ import numpy as np
 from scipy.special import erf, erfinv, lambertw
 
 
+# below this size the numpy pair kernel wins (and keeps the training-pool RNG
+# stream byte-identical to the committed results); above it the C++ streaming
+# connector avoids the O(N^2) temporaries
+_NATIVE_CONNECT_MIN_N = 512
+
+
 def _kmin(kbar: float, gamma: float) -> float:
     return kbar * (gamma - 2.0) / (gamma - 1.0)
 
@@ -98,10 +104,19 @@ def _connect_layer(
     pattern is not a goal; the distribution is identical.
     """
     n = len(kappa)
+    mu = _mu(kbar, T)
+    if n >= _NATIVE_CONNECT_MIN_N:
+        # large graphs: stream the pair loop in C++ (no N^2 numpy temporaries);
+        # the distribution is identical, only the RNG stream differs
+        from mdcommunity_tpu.native import gmm_connect
+
+        seed = int(rng.integers(0, 2**63 - 1))
+        edges = gmm_connect(kappa, theta, T, mu, seed)
+        if edges is not None:
+            return edges
     two_pi = 2.0 * np.pi
     dtheta = np.abs(theta[:, None] - theta[None, :])
     dist = (n / two_pi) * np.abs(np.pi - np.abs(np.pi - dtheta))
-    mu = _mu(kbar, T)
     chi = dist / (mu * np.outer(kappa, kappa))
     with np.errstate(over="ignore", divide="ignore"):
         p = 1.0 / (1.0 + np.power(chi, 1.0 / T))
