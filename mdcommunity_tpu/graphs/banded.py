@@ -114,9 +114,9 @@ def build_banded_duplex(
         nf = np.zeros((2, pad_n), np.float32)
 
     if max_rank is None:
-        from mdcommunity_tpu.env.host_env import HostDuplexEnv
+        from mdcommunity_tpu.env.host_env import make_host_env
 
-        env = HostDuplexEnv(n_nodes, ordered[0], ordered[1])
+        env = make_host_env(n_nodes, ordered[0], ordered[1])
         max_rank = env.max_rank
 
     banded = BandedDuplex(
