@@ -150,3 +150,23 @@ def test_solution_robustness_matches_heuristic_score(rng):
     rng.shuffle(shuffled)
     s_sh, _ = solution_robustness(g, shuffled)
     assert s_re <= s_sh + 1e-6
+
+
+def test_draw_lmcc_plot(tmp_path):
+    """cli draw: overlay NormalizedLMCC files into a PNG (reference
+    drawUnweight.py / drawWeight.py)."""
+    from mdcommunity_tpu.cli import main as cli_main
+    from mdcommunity_tpu.eval.writers import write_lmcc_curve
+
+    paths = {}
+    for label, decay in (("ours", 0.9), ("hda", 0.8)):
+        p = tmp_path / f"NormalizedLMCC_{label}.txt"
+        curve = [decay**t for t in range(12)]
+        write_lmcc_curve(str(p), curve, 12, 10, score_mean=0.3, score_std=0.01)
+        paths[label] = p
+    out = tmp_path / "cmp.png"
+    cli_main([
+        "draw", f"ours={paths['ours']}", f"hda={paths['hda']}",
+        "-o", str(out), "--title", "test",
+    ])
+    assert out.exists() and out.stat().st_size > 1000
