@@ -1,39 +1,41 @@
-"""Pallas packed band-contraction kernel — EXPERIMENTAL alternative backend
+"""Pallas packed band-contraction kernel — fully-fused alternative backend
 for the dense-band aggregation engine (ops/dense_band.py).
 
-Status (measured on v5e, bench workload: 2^20 nodes / 2^23 directed edges /
-D=64; scripts/proto_band_pallas.py and in-session A/B chains):
+The FULL operator out = row ⊙ (A @ (col ⊙ h)) — band + mirror overflow +
+spill, with rank-1 liveness scales — runs as ONE Pallas pass plus a tiny XLA
+prologue, so nothing crosses the custom-call boundary at full-array cost:
 
-  * The core band contraction is 2.4x the XLA einsum path (2.5 ms vs
-    6.0 ms per pass): D=64 arrays are physically 128-lane padded in TPU HBM
-    (every [*, 64] read/write moves 2x the bytes), so node features are kept
-    PACKED — h2[r] holds node 2r in lanes 0:64 and node 2r+1 in lanes
-    64:128 — and the kernel reads h windows straight from HBM (three
-    always-contiguous DMA pieces, double-buffered across grid steps) with
-    in-register int8->bf16 casts, instead of materializing the [nb, W2, D]
-    window concat and a bf16 base copy like XLA does.
-  * The FULL operator (rank-1 liveness scales + mirror overflow + spill)
-    currently LOSES to the XLA engine end to end (~19 ms vs ~13 ms fwd+bwd
-    in the same session): nothing fuses across the pallas custom-call
-    boundary, so the scale multiplies and the one-hot mirror expansion each
-    cost standalone full-array HBM passes that XLA fuses into its einsum
-    epilogues.  Folding them in-kernel needs (a) a Mosaic-supported
-    deinterleave of per-node scale vectors into lane halves — the direct
-    (1, W) -> (W/2, 2) vector reshape is rejected by infer-vector-layout —
-    and (b) a two-phase kernel (mirror pre-pass -> tiny sorted-COO SpMM ->
-    band pass with expansion add), since the expansion input depends on the
-    kernel's own mirror output.  Future work; spmm_dense_band remains the
-    production path and the bench.py engine.
+  * h is PACKED [pad_n/2, 2D]: row r holds node 2r in lanes 0:D and node
+    2r+1 in lanes D:2D.  [*, D<=64] arrays are physically 128-lane padded in
+    TPU HBM, so packing halves every h read/write.  The kernel reads h
+    windows straight from HBM in three always-contiguous DMA pieces
+    (circular wrap only ever lands at the array ends), double-buffered
+    across grid steps, with in-register int8->bf16 casts — no [nb, W2, D]
+    window materialization like the XLA einsum path.
+  * The rank-1 scales are folded IN-KERNEL.  The blocker was layout: a
+    per-packed-row scale column [W, 1] cannot be formed from a lane-dense
+    vector by reshape (lane->sublane relayouts are unsupported in Mosaic).
+    Instead the scale vectors ride as [pad_n/128, 128] f32 (dense, tiny DMA
+    windows) and the kernel extracts parity columns with supported ops only:
+    broadcast each 128-node row across 64 packed rows (broadcast_to +
+    reshape over the sublane-major dims), mask the single wanted lane with a
+    broadcasted-iota comparison, and lane-reduce to [W, 1].  Pure VPU, no
+    extra HBM traffic.
+  * The mirror path is two-phase.  Compaction G @ (col ⊙ h) is a per-block
+    one-hot gather — computed by a cheap XLA einsum in PACKED layout (one
+    h read; lane-half select + per-slot col gather are tiny [nb, C, *]
+    ops).  The mirror-space COO SpMM stays in XLA (small).  The EXPANSION
+    G^T @ sub is folded into the kernel as one extra [Sh, Cp] x [Cp, D] dot
+    per destination parity, added before the row scale — so the kernel
+    writes the final output in a single pass.
 
 Packing splits the contraction by source-row parity (columns of the stored
-base) and destination-row parity (rows): 4 dots of [S/2+Ch, W2/2] x
-[W2/2, 64] per destination block, writing the packed output's lane halves
-directly, so chained packed calls never relayout.  The kernel also emits the
-mirror-lane rows in destination-parity order; the small sorted-COO SpMM over
-the mirror space and the parity-split one-hot expansion back stay in XLA.
+base, permuted [even_w | odd_w] at build) and destination-row parity (rows):
+4 dots of [S/2, W2/2] x [W2/2, D] per destination block, writing the packed
+output's lane halves directly, so chained packed calls never relayout.
 
 The stored operator is symmetric (A^T = A; the mirror composite is
-G^T*S*G with S symmetric; dense_band.py design), so the backward pass is
+G^T·M·G with M symmetric; dense_band.py design), so the backward pass is
 the same kernel with the rank-1 scales swapped.
 
 Reference analogue: torch_sparse.spmm (CUDA gather/scatter), the reference's
@@ -44,7 +46,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -83,28 +84,27 @@ def scale_packed(h2: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 class PackedBand:
     """Kernel-ready re-layout of a DenseBandGraph.
 
-    base_pk : int8 [nb, 2, SCh, W2] — destination rows split by parity
-              (axis 1: even, odd), columns permuted [even_w | odd_w], rows
-              padded to the int8 sublane tile.  Rows 0..S/2 are band rows;
-              rows S/2..S/2+Ch are the mirror one-hot lanes of that parity.
-    ge / go : f32 [nb, 2, Ch, S/2] one-hot expansion blocks for even/odd
-              DESTINATION rows (axis 1 = mirror-slot parity), used by the
-              XLA-side expansion.
-    ccoo    : SortedCOO over the parity-reordered mirror space
-              (slot' = blk*2*Ch + (rank%2)*Ch + rank//2), so the kernel's
-              [nb, 2, Ch, D] mirror output flattens straight into it.
-    w_cov   : f32 overflow edge values in ccoo destination order.
+    base_pk : int8 [nb, 2, S/2, W2] — BAND rows only, destination rows split
+              by parity (axis 1: even, odd), columns permuted [even_w|odd_w].
+    oh      : int8 [nb, Cp, S/2] one-hot over PACKED rows — slot (b, c) is
+              hot at the packed row holding its touched node (prologue
+              compaction gather).
+    odd     : bool [nb, Cp] — touched node's lane parity.
+    geT     : int8 [nb, 2, S/2, Cp] expansion one-hots, transposed for the
+              in-kernel [S/2, Cp] x [Cp, D] dot (axis 1 = dst-row parity).
+    ccoo    : SortedCOO over the Cp-padded mirror slot space
+              (slot' = blk*Cp + rank; weights = dbg.w_cov, order preserved).
     """
 
     base_pk: jnp.ndarray
-    ge: jnp.ndarray
-    go: jnp.ndarray
+    oh: jnp.ndarray
+    odd: jnp.ndarray
+    geT: jnp.ndarray
     ccoo: SortedCOO
-    w_cov: jnp.ndarray
     S: int = dataclasses.field(metadata=dict(static=True))
     B: int = dataclasses.field(metadata=dict(static=True))
     C: int = dataclasses.field(metadata=dict(static=True))
-    Ch: int = dataclasses.field(metadata=dict(static=True))
+    Cp: int = dataclasses.field(metadata=dict(static=True))
     G: int = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -112,12 +112,8 @@ class PackedBand:
         return self.base_pk.shape[0]
 
     @property
-    def SCh(self) -> int:
-        return self.base_pk.shape[2]
-
-    @property
     def W2(self) -> int:
-        return self.base_pk.shape[3]
+        return self.S + 2 * self.B
 
     @property
     def pad_n(self) -> int:
@@ -125,105 +121,125 @@ class PackedBand:
 
 
 def pack_band(dbg: DenseBandGraph, G: int = 8) -> PackedBand:
-    """Host-side re-layout.  G = destination blocks per kernel program."""
+    """Host-side re-layout.  G = destination blocks per kernel program.
+
+    Requires S and B multiples of 128 (window DMA pieces and the in-kernel
+    scale extraction are 128-node aligned) and an int8 base."""
     S, B, C = dbg.S, dbg.B, dbg.C
+    assert S % 128 == 0 and B % 128 == 0 and B >= 128, (S, B)
+    assert dbg.base.dtype == jnp.int8, "packed backend requires int8 base"
     base = np.asarray(dbg.base, np.int8)  # [nb, S+C, W2]
     nb = base.shape[0]
     while nb % G:
         G //= 2
-    Ch = -(-C // 2) if C else 0
-
-    # column parity split [even_w | odd_w]
-    basec = np.concatenate([base[:, :, 0::2], base[:, :, 1::2]], axis=2)
-    ev, od = basec[:, 0:S:2, :], basec[:, 1:S:2, :]  # band rows by parity
-    # mirror lanes by SLOT parity (slot c -> parity c%2)
-    mev = basec[:, S + 0 :: 2, :] if C else basec[:, :0, :]
-    mod_ = basec[:, S + 1 :: 2, :] if C else basec[:, :0, :]
     Sh = S // 2
-    SCh = -(-(Sh + Ch) // 32) * 32
-    out = np.zeros((nb, 2, SCh, basec.shape[2]), np.int8)
-    out[:, 0, :Sh] = ev
-    out[:, 1, :Sh] = od
-    if C:
-        out[:, 0, Sh : Sh + mev.shape[1]] = mev
-        out[:, 1, Sh : Sh + mod_.shape[1]] = mod_
 
-    # expansion one-hots, split by destination-row parity AND slot parity
-    lanes = np.asarray(dbg.base, np.float32)[:, S:, B : B + S]  # [nb, C, S]
-    ge = np.zeros((nb, 2, Ch, Sh), np.float32)
-    go = np.zeros((nb, 2, Ch, Sh), np.float32)
-    if C:
-        ge[:, 0, : lanes[:, 0::2].shape[1]] = lanes[:, 0::2, 0::2]
-        ge[:, 1, : lanes[:, 1::2].shape[1]] = lanes[:, 1::2, 0::2]
-        go[:, 0, : lanes[:, 0::2].shape[1]] = lanes[:, 0::2, 1::2]
-        go[:, 1, : lanes[:, 1::2].shape[1]] = lanes[:, 1::2, 1::2]
+    # band rows: column parity split [even_w | odd_w], row parity split
+    band = base[:, :S, :]
+    bandc = np.concatenate([band[:, :, 0::2], band[:, :, 1::2]], axis=2)
+    base_pk = np.stack([bandc[:, 0::2, :], bandc[:, 1::2, :]], axis=1)
 
-    # remap the mirror COO into the parity-reordered slot space
-    if C and dbg.ccoo.d_src.shape[0]:
+    # mirror metadata (compaction + expansion one-hots, slot lane parity)
+    live_mirror = bool(C) and dbg.ccoo.d_src.shape[0] > 0
+    Cp = -(-C // 8) * 8 if live_mirror else 0
+    oh = np.zeros((nb, max(Cp, 1), Sh), np.int8)
+    odd = np.zeros((nb, max(Cp, 1)), bool)
+    geT = np.zeros((nb, 2, Sh, max(Cp, 1)), np.int8)
+    if live_mirror:
+        lanes = np.asarray(base[:, S:, B : B + S])  # [nb, C, S] one-hots
+        used = lanes.sum(axis=2) > 0
+        local = lanes.argmax(axis=2)
+        for b, c in zip(*np.nonzero(used)):
+            r = int(local[b, c])
+            oh[b, c, r // 2] = 1
+            odd[b, c] = bool(r % 2)
+            geT[b, r % 2, r // 2, c] = 1
+        # remap the mirror COO slots b*C + rank -> b*Cp + rank (monotone,
+        # so the dst-sorted order and the w_cov alignment are preserved)
         s = np.asarray(dbg.ccoo.d_src, np.int64)
         d = np.asarray(dbg.ccoo.d_dst, np.int64)
-        w = np.asarray(dbg.w_cov, np.float32)
-
-        def remap(x):
-            blk, rank = x // C, x % C
-            return blk * (2 * Ch) + (rank % 2) * Ch + rank // 2
-
-        s2, d2 = remap(s), remap(d)
-        order = np.argsort(d2, kind="stable")
+        remap = lambda x: (x // C) * Cp + (x % C)  # noqa: E731
         ccoo = build_sorted_coo(
-            s2[order].astype(np.int32), d2[order].astype(np.int32),
-            nb * 2 * max(Ch, 1),
+            remap(s).astype(np.int32), remap(d).astype(np.int32), nb * Cp
         )
-        w_cov = jnp.asarray(w[order])
     else:
-        ccoo = build_sorted_coo(
-            np.zeros(0, np.int32), np.zeros(0, np.int32), nb * 2 * max(Ch, 1)
-        )
-        w_cov = jnp.zeros((0,), jnp.float32)
+        ccoo = build_sorted_coo(np.zeros(0, np.int32), np.zeros(0, np.int32), 1)
 
     return PackedBand(
-        base_pk=jnp.asarray(out), ge=jnp.asarray(ge), go=jnp.asarray(go),
-        ccoo=ccoo, w_cov=w_cov, S=S, B=B, C=C, Ch=Ch, G=G,
+        base_pk=jnp.asarray(base_pk),
+        oh=jnp.asarray(oh),
+        odd=jnp.asarray(odd),
+        geT=jnp.asarray(geT),
+        ccoo=ccoo,
+        S=S, B=B, C=C, Cp=Cp, G=G,
     )
 
 
 # ---------------------------------------------------------------- kernel
 
 @functools.lru_cache(maxsize=32)
-def _make_kernel(nb, S, B, Ch, SCh, D, G):
+def _make_kernel(nb, S, B, Cp, D, G):
     W2 = S + 2 * B
+    Wh = W2 // 2  # packed window rows per block
+    Sh = S // 2
     n_prog = nb // G
     GS = G * S
-    pad_n = nb * S
-    pad_half = pad_n // 2
-    WIN = (GS + 2 * B) // 2  # packed window rows
-    Sh = S // 2
-    NV = GS + 256  # scale-vector window (128-aligned pieces, offset 64+B pad)
+    pad_half = nb * S // 2
+    WIN = (GS + 2 * B) // 2  # packed h-window rows per program
+    R = nb * S // 128  # scale-vector rows (128 nodes per row)
+    BR = B // 128
+    SR = S // 128
+    WR = GS // 128 + 2 * BR  # col-scale window rows
+    GR = GS // 128  # row-scale window rows
 
-    def kernel(base_ref, h2_hbm, out2_ref, mir_ref, win, sems):
+    def kernel(base_ref, h2_hbm, colv_hbm, rowv_hbm, *rest):
+        if Cp:
+            geT_ref, sub_ref, out2_ref, win, cw, rw, sems = rest
+        else:
+            out2_ref, win, cw, rw, sems = rest
         p = pl.program_id(0)
 
         def dmas(prog, slot):
             # h window: packed rows [prog*GS/2 - B/2, ...+GS/2 + B/2), three
-            # always-contiguous pieces
+            # always-contiguous pieces (wrap only at the array ends)
             main = pltpu.make_async_copy(
                 h2_hbm.at[pl.ds(prog * (GS // 2), GS // 2)],
                 win.at[slot, pl.ds(B // 2, GS // 2)],
                 sems.at[slot, 0],
             )
-            head = (prog * (GS // 2) - B // 2) % pad_half
-            hdma = pltpu.make_async_copy(
-                h2_hbm.at[pl.ds(head, B // 2)],
+            head = pltpu.make_async_copy(
+                h2_hbm.at[pl.ds((prog * (GS // 2) - B // 2) % pad_half, B // 2)],
                 win.at[slot, pl.ds(0, B // 2)],
                 sems.at[slot, 1],
             )
-            tail = ((prog + 1) * (GS // 2)) % pad_half
-            tdma = pltpu.make_async_copy(
-                h2_hbm.at[pl.ds(tail, B // 2)],
+            tail = pltpu.make_async_copy(
+                h2_hbm.at[pl.ds(((prog + 1) * (GS // 2)) % pad_half, B // 2)],
                 win.at[slot, pl.ds(B // 2 + GS // 2, B // 2)],
                 sems.at[slot, 2],
             )
-            return main, hdma, tdma
+            # col-scale window: rows [prog*GS/128 - BR, ...+GS/128 + BR)
+            cmain = pltpu.make_async_copy(
+                colv_hbm.at[pl.ds(prog * GR, GR)],
+                cw.at[slot, pl.ds(BR, GR)],
+                sems.at[slot, 3],
+            )
+            chead = pltpu.make_async_copy(
+                colv_hbm.at[pl.ds((prog * GR - BR) % R, BR)],
+                cw.at[slot, pl.ds(0, BR)],
+                sems.at[slot, 4],
+            )
+            ctail = pltpu.make_async_copy(
+                colv_hbm.at[pl.ds(((prog + 1) * GR) % R, BR)],
+                cw.at[slot, pl.ds(BR + GR, BR)],
+                sems.at[slot, 5],
+            )
+            # row-scale window: exactly this program's rows (no halo)
+            rmain = pltpu.make_async_copy(
+                rowv_hbm.at[pl.ds(prog * GR, GR)],
+                rw.at[slot, pl.ds(0, GR)],
+                sems.at[slot, 6],
+            )
+            return main, head, tail, cmain, chead, ctail, rmain
 
         slot = jax.lax.rem(p, 2)
         nxt = jax.lax.rem(p + 1, 2)
@@ -241,93 +257,129 @@ def _make_kernel(nb, S, B, Ch, SCh, D, G):
         for dma in dmas(p, slot):
             dma.wait()
 
+        # parity lane masks: packed row i of a scale window maps to lane
+        # 2*(i % 64) (+1 for odd) of its 128-node scale row i // 64
+        ii = jax.lax.broadcasted_iota(jnp.int32, (Wh, 128), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (Wh, 128), 1)
+        me = kk == 2 * jax.lax.rem(ii, 64)
+        mo = kk == 2 * jax.lax.rem(ii, 64) + 1
+
+        def cols(srows, rows, off):
+            """[rows//64, 128] scale rows -> ([rows,1] even, [rows,1] odd)."""
+            t = jnp.broadcast_to(
+                srows[:, None, :], (rows // 64, 64, 128)
+            ).reshape(rows, 128)
+            zero = jnp.zeros_like(t)
+            ce = jnp.sum(jnp.where(me[off : off + rows], t, zero), axis=1,
+                         keepdims=True)
+            co = jnp.sum(jnp.where(mo[off : off + rows], t, zero), axis=1,
+                         keepdims=True)
+            return ce, co
+
         for g in range(G):  # static unroll
-            w2 = win[slot, pl.ds(g * Sh, W2 // 2), :]  # [W2/2, 2D]
-            lo = w2[:, :D].astype(jnp.bfloat16)  # even source rows
-            hi = w2[:, D:].astype(jnp.bfloat16)  # odd source rows
+            ce, co = cols(cw[slot, pl.ds(g * SR, W2 // 128), :], Wh, 0)
+            re_, ro = cols(rw[slot, pl.ds(g * SR, SR), :], Sh, 0)
+
+            w2 = win[slot, pl.ds(g * Sh, Wh), :]  # [Wh, 2D] f32
+            lo = (w2[:, :D] * ce).astype(jnp.bfloat16)  # even src, scaled
+            hi = (w2[:, D:] * co).astype(jnp.bfloat16)  # odd src, scaled
 
             def contract(par):
-                blk = base_ref[g, par]  # [SCh, W2] int8 [even_w|odd_w]
-                be = blk[:, : W2 // 2].astype(jnp.bfloat16)
-                bo = blk[:, W2 // 2 :].astype(jnp.bfloat16)
-                return jax.lax.dot(
+                blk = base_ref[g, par]  # [Sh, W2] int8 [even_w|odd_w]
+                be = blk[:, :Wh].astype(jnp.bfloat16)
+                bo = blk[:, Wh:].astype(jnp.bfloat16)
+                acc = jax.lax.dot(
                     be, lo, preferred_element_type=jnp.float32
                 ) + jax.lax.dot(bo, hi, preferred_element_type=jnp.float32)
+                if Cp:  # mirror expansion: + G^T @ sub
+                    acc = acc + jax.lax.dot(
+                        geT_ref[g, par].astype(jnp.bfloat16),
+                        sub_ref[g].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                return acc
 
-            oe = contract(0)  # [SCh, D]: even dst band rows + even slots
-            oo = contract(1)
-            out2_ref[g, :, :D] = oe[:Sh]
-            out2_ref[g, :, D:] = oo[:Sh]
-            if Ch:
-                mir_ref[g, 0] = oe[Sh : Sh + Ch]
-                mir_ref[g, 1] = oo[Sh : Sh + Ch]
+            out2_ref[g, :, :D] = contract(0) * re_
+            out2_ref[g, :, D:] = contract(1) * ro
+
+    in_specs = [
+        pl.BlockSpec(
+            (G, 2, Sh, W2), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),  # h2
+        pl.BlockSpec(memory_space=pl.ANY),  # colv
+        pl.BlockSpec(memory_space=pl.ANY),  # rowv
+    ]
+    if Cp:
+        in_specs += [
+            pl.BlockSpec(
+                (G, 2, Sh, Cp), lambda p: (p, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (G, Cp, D), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_prog,),
-        in_specs=[
-            pl.BlockSpec(
-                (G, 2, SCh, W2), lambda p: (p, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (G, Sh, 2 * D), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (G, 2, max(Ch, 1), D), lambda p: (p, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (G, Sh, 2 * D), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, WIN, 2 * D), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, WR, 128), jnp.float32),
+            pltpu.VMEM((2, GR, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 7)),
         ],
     )
 
-    def run(base_pk, h2, interpret=False):
+    def run(*args, interpret=False):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((nb, Sh, 2 * D), jnp.float32),
-                jax.ShapeDtypeStruct((nb, 2, max(Ch, 1), D), jnp.float32),
-            ),
+            out_shape=jax.ShapeDtypeStruct((nb, Sh, 2 * D), jnp.float32),
             interpret=interpret,
-        )(base_pk, h2)
+        )(*args)
 
     return run
 
 
 def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret):
-    """row ⊙ (A @ (col ⊙ h)) in packed layout (band kernel + mirror/spill)."""
+    """row ⊙ (A @ (col ⊙ h)) in packed layout — one kernel pass."""
     D = h2.shape[1] // 2
-    run = _make_kernel(pk.nb, pk.S, pk.B, pk.Ch, pk.SCh, D, pk.G)
-    hc = scale_packed(h2, col)
-    out2, mir = run(pk.base_pk, hc, interpret=interpret)
-    nb = pk.nb
-    out2 = out2.reshape(pk.pad_n // 2, 2 * D)
-    if pk.C and pk.ccoo.d_src.shape[0]:
+    nb, Sh = pk.nb, pk.S // 2
+    run = _make_kernel(nb, pk.S, pk.B, pk.Cp, D, pk.G)
+    colv = col.reshape(-1, 128)
+    rowv = row.reshape(-1, 128)
+    args = [pk.base_pk, h2, colv, rowv]
+    if pk.Cp:
+        # prologue: mirror compaction mir = G @ (col ⊙ h) (packed-lane
+        # einsum + lane-half select + per-slot col extraction), then the
+        # tiny mirror-space COO SpMM
+        h2b = h2.reshape(nb, Sh, 2 * D)
+        mirp = jnp.einsum(
+            "bcr,brl->bcl",
+            pk.oh.astype(jnp.bfloat16),
+            h2b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        mir = jnp.where(pk.odd[:, :, None], mirp[:, :, D:], mirp[:, :, :D])
+        ct = jnp.einsum(
+            "bcr,brp->bcp", pk.oh.astype(jnp.float32), col.reshape(nb, Sh, 2)
+        )
+        colt = jnp.where(pk.odd, ct[:, :, 1], ct[:, :, 0])
         sub = spmm_sorted(
-            pk.ccoo, pk.w_cov, mir.reshape(nb * 2 * max(pk.Ch, 1), D)
-        ).reshape(nb, 2, max(pk.Ch, 1), D)
-        # parity-split expansion; lane-concat instead of a row relayout
-        expe = jnp.einsum(
-            "bqcs,bqcd->bsd", pk.ge, sub, preferred_element_type=jnp.float32
+            pk.ccoo, dbg.w_cov, (mir * colt[:, :, None]).reshape(nb * pk.Cp, D)
         )
-        expo = jnp.einsum(
-            "bqcs,bqcd->bsd", pk.go, sub, preferred_element_type=jnp.float32
-        )
-        exp2 = jnp.concatenate([expe, expo], axis=2).reshape(
-            pk.pad_n // 2, 2 * D
-        )
-        out2 = out2 + exp2
+        args += [pk.geT, sub.reshape(nb, pk.Cp, D)]
+    out2 = run(*args, interpret=interpret).reshape(pk.pad_n // 2, 2 * D)
     if dbg.spill.d_src.shape[0]:
-        sp = spmm_sorted(dbg.spill, dbg.w_spill, unpack_rows(hc))
-        out2 = out2 + pack_rows(sp)
-    return scale_packed(out2, row)
+        sp = spmm_sorted(dbg.spill, dbg.w_spill, unpack_rows(scale_packed(h2, col)))
+        out2 = out2 + scale_packed(pack_rows(sp), row)
+    return out2
 
 
 def _make_op(interpret: bool):
@@ -355,8 +407,8 @@ _OPS = {False: _make_op(False), True: _make_op(True)}
 
 
 def spmm_band_packed(pk, dbg, row, col, h2, interpret: bool = False):
-    """out2 = pack((A * row⊗col) @ unpack(h2)) for the full stored operator
-    (band + mirror overflow + spill).
+    """out2 = pack(row ⊙ ((A * row⊗col-less base) @ (col ⊙ unpack(h2)))) for
+    the full stored operator (band + mirror overflow + spill).
 
     h2 packed [pad_n/2, 2D]; row/col per-node f32[pad_n].  Differentiable in
     h2 only (adjacency values are graph constants; backward uses A^T = A)."""

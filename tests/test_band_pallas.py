@@ -24,7 +24,7 @@ from mdcommunity_tpu.ops.dense_band import (  # noqa: E402
 )
 
 
-def _ring_graph(rng, n, e, scale=6.0):
+def _ring_graph(rng, n, e, scale=24.0):
     src = rng.integers(0, n, e)
     off = np.minimum(
         (scale * (rng.pareto(2.0, e) + 1)).astype(np.int64), n // 2 - 1
@@ -39,7 +39,7 @@ def _ring_graph(rng, n, e, scale=6.0):
 def test_packed_matches_dense_band(rng, agg):
     n, e = 4096, 8192
     ssym, dsym = _ring_graph(rng, n, e)
-    dbg = build_dense_band(ssym, dsym, None, n, S=512, B=64, dtype=jnp.int8)
+    dbg = build_dense_band(ssym, dsym, None, n, S=512, B=128, dtype=jnp.int8)
     assert dbg.ccoo.d_src.shape[0] > 0, "want mirror-lane coverage"
     pk = pack_band(dbg)
 
@@ -60,7 +60,7 @@ def test_packed_matches_dense_band(rng, agg):
 def test_packed_vjp_matches(rng):
     n, e = 2048, 4096
     ssym, dsym = _ring_graph(rng, n, e)
-    dbg = build_dense_band(ssym, dsym, None, n, S=512, B=64, dtype=jnp.int8)
+    dbg = build_dense_band(ssym, dsym, None, n, S=512, B=128, dtype=jnp.int8)
     pk = pack_band(dbg)
     covered = jnp.asarray(rng.random(dbg.pad_n) < 0.1)
     row, col = live_scales(dbg, covered, "sum")
