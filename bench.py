@@ -90,11 +90,14 @@ def main():
         float(nop(jnp.float32(0)))
     rtt = (time.perf_counter() - t0) / 5
 
+    from mdcommunity_tpu.utils.profiling import ThroughputMeter
+
+    meter = ThroughputMeter("edges")
     t0 = time.perf_counter()
     float(jnp.sum(chain(dbg, row, col, h0)))
-    t_iter = (time.perf_counter() - t0 - rtt) / K
+    meter.add(e2 * K, time.perf_counter() - t0 - rtt)
 
-    edges_per_s = e2 / t_iter
+    edges_per_s = meter.rate
     print(
         json.dumps(
             {

@@ -128,7 +128,8 @@ def cmd_baseline(args):
             continue
         t0 = _t.time()
         sol, score, _ = heuristic_dismantle(
-            g, args.method, args.combine, args.protect_frac
+            g, args.method, args.combine, args.protect_frac,
+            syn_stop=args.syn_stop,
         )
         scores.append(score)
         if args.output:
@@ -244,6 +245,9 @@ def main(argv=None):
                    choices=["degree", "betweenness", "closeness", "ci", "pagerank"])
     b.add_argument("--combine", default="max2", choices=["max2", "add"])
     b.add_argument("--protect-frac", type=float, default=0.0)
+    b.add_argument("--syn-stop", action="store_true",
+                   help="_syn-script early stop: stop once rank <= sqrt(N) "
+                        "(hda_2max_syn.py:78-81)")
     b.add_argument("--size", type=int, default=64)
     b.add_argument("--n-graphs", type=int, default=10)
     b.add_argument("--seed", type=int, default=0)
@@ -284,7 +288,9 @@ def _register_draw(sub):
         curves = {}
         for spec in args.curves:
             label, path = spec.split("=", 1)
-            curves[label] = path
+            # weighted (drawWeight) curves take label=Cost_file:LMCC_file —
+            # x = cumulative cost read from the cost file (drawWeight.py:63-68)
+            curves[label] = tuple(path.split(":", 1)) if ":" in path else path
         plot_lmcc_curves(
             curves, args.output, title=args.title, weighted=args.weighted
         )
@@ -294,7 +300,8 @@ def _register_draw(sub):
         "draw", help="LMCC-curve comparison plot (reference drawLmcc)"
     )
     d.add_argument("curves", nargs="+",
-                   help="label=NormalizedLMCC_file.txt pairs")
+                   help="label=NormalizedLMCC_file.txt pairs (weighted: "
+                        "label=Cost_file.txt:NormalizedLMCC_file.txt)")
     d.add_argument("-o", "--output", required=True)
     d.add_argument("--title", default="")
     d.add_argument("--weighted", action="store_true",

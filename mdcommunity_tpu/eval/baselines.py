@@ -12,6 +12,10 @@ hda_2max_protect.py).  Semantics (hda_2max.py:50-90):
   * stop when the LMCC rank reaches 1 (not when edges run out)
   * ``protect`` variants make the top-1% initial-degree nodes immune
     (hda_2max_protect.py:61-68)
+  * ``_syn`` sweep scripts stop earlier: while normalized LMCC >
+    sqrt(N)/LMCC0, i.e. stop once rank <= sqrt(N)
+    (hda_2max_syn.py:78-81 `new_num = math.sqrt(N)/ND_ori`); exposed here
+    as ``syn_stop=True``
 
 Degree and CI are computed on device from live-edge masks; betweenness and
 closeness fall back to networkx on the live subgraph, as the reference does
@@ -92,8 +96,12 @@ def heuristic_dismantle(
     method: str = "degree",
     combine: str = "max2",
     protect_frac: float = 0.0,
+    syn_stop: bool = False,
 ) -> Tuple[List[int], float, List[float]]:
     """Run one adaptive heuristic dismantling.
+
+    syn_stop=True uses the `_syn` scripts' convention: stop once the LMCC
+    rank falls to sqrt(N) (hda_2max_syn.py:78-81) instead of 1.
 
     Returns (solution, score, MaxCCList curve starting at 1.0)."""
     assert method in METHODS and combine in COMBINES
@@ -114,8 +122,9 @@ def heuristic_dismantle(
     curve: List[float] = [1.0]
     score = 0.0
     max_rank = float(g.max_rank)
+    stop_rank = float(np.sqrt(n)) if syn_stop else 1.0
 
-    while int(state.rank[0]) > 1 and len(sol) < n:
+    while float(state.rank[0]) > stop_rank and len(sol) < n:
         covered = np.asarray(state.covered[0])
         sever = np.asarray(state.sever[0])
         if method == "degree":

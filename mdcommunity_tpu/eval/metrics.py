@@ -33,11 +33,16 @@ def dismantle_greedy(
     variant: str = "unit_cost",
     dense: Optional[bool] = None,
     max_steps: Optional[int] = None,
+    syn_stop: bool = False,
 ) -> Tuple[List[int], float, List[float]]:
     """Greedy Q rollout on one (unbatched) graph.
 
     Removes the top-`step` scoring nodes per model call (reference GetSolution's
     batchSol = argsort(-pred)[:step]); re-checks terminality between removals.
+
+    syn_stop=True uses the baseline `_syn` scripts' early-stop convention
+    (stop once rank <= sqrt(N), hda_2max_syn.py:78-81) so model scores are
+    comparable with syn-convention heuristic sweeps.
 
     Returns (solution node list, score = AUDC, MaxCCList curve starting at 1.0).
     """
@@ -57,8 +62,13 @@ def dismantle_greedy(
     curve: List[float] = [1.0]
     n = int(g.n_nodes)
     max_steps = max_steps or n
+    stop_rank = float(np.sqrt(n)) if syn_stop else 0.0
 
-    while not bool(state.terminal[0]) and len(sol) < max_steps:
+    while (
+        not bool(state.terminal[0])
+        and len(sol) < max_steps
+        and float(state.rank[0]) > stop_rank
+    ):
         if aggregate_fn is not None:
             from mdcommunity_tpu.env.batch import make_batch_inputs
             from mdcommunity_tpu.models.net import test_forward as _tf
@@ -72,7 +82,7 @@ def dismantle_greedy(
         q_np = np.asarray(q[0])
         order = np.argsort(-q_np)[:step]
         for a in order:
-            if bool(state.terminal[0]):
+            if bool(state.terminal[0]) or float(state.rank[0]) <= stop_rank:
                 break
             if not np.isfinite(q_np[a]):
                 break
@@ -112,11 +122,13 @@ def validation_score(score: float, n: int, covered: int, max_rank: int) -> float
     return score + (n - covered) / (max_rank * n)
 
 
-def solution_robustness(g: DuplexGraph, solution: List[int]):
+def solution_robustness(g: DuplexGraph, solution: List[int], degree_cost: bool = False):
     """Score a full removal order by replaying it against the cascade
     (reference: Utils.getRobustness, utils.py:53-97 — which rebuilds the duplex
     in reverse insertion order; replaying forward over the same order visits
-    identical states).  Returns (score = AUDC, normalized-LMCC curve)."""
+    identical states).  degree_cost replays with the cost-weighted score
+    (degree_cost mvc_env.py stepWithoutReward: score += rank/max_rank · cost).
+    Returns (score = AUDC, normalized-LMCC curve)."""
     gb = stack_graphs([g])
     state = batched_reset(gb)
     curve = []
@@ -124,7 +136,7 @@ def solution_robustness(g: DuplexGraph, solution: List[int]):
     for a in solution:
         if bool(state.terminal[0]):
             break
-        state, _ = batched_step(gb, state, jnp.asarray([int(a)]))
+        state, _ = batched_step(gb, state, jnp.asarray([int(a)]), degree_cost)
         curve.append(float(state.rank[0]) / max_rank)
     return float(state.score[0]), curve
 

@@ -1,16 +1,25 @@
 """LMCC-curve comparison plots (reference: drawUnweight.py / drawWeight.py —
-overlays of per-method NormalizedLMCC curves per real dataset)."""
+overlays of per-method NormalizedLMCC curves per real dataset).
+
+The weighted variant plots x = CUMULATIVE REMOVAL COST read from the
+cost-curve files (reference MultiDismantler_degree_cost/drawWeight.py:63-68:
+`x_values = read_values(cost_file); plt.plot(x_values[:-1], y_values)` — the
+cost file's trailing line is the final score and is dropped), not merely a
+relabeled node-fraction axis.
+"""
 
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict, Sequence, Tuple, Union
 
 import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
+
+CurveSpec = Union[str, Tuple[str, str], Sequence[str]]
 
 
 def read_lmcc_file(path: str) -> np.ndarray:
@@ -19,18 +28,37 @@ def read_lmcc_file(path: str) -> np.ndarray:
     return np.asarray(vals[:-2] if len(vals) > 2 else vals)
 
 
+def read_cost_file(path: str) -> np.ndarray:
+    """Read a cumulative-cost (Cost_*/cost_*) file; the trailing line is the
+    final score and is dropped (reference drawWeight.py:63-65)."""
+    vals = [float(x) for x in open(path).read().split()]
+    return np.asarray(vals[:-1] if len(vals) > 1 else vals)
+
+
 def plot_lmcc_curves(
-    curves: Dict[str, str],
+    curves: Dict[str, CurveSpec],
     out_path: str,
     title: str = "",
     weighted: bool = False,
 ):
-    """curves: {method label: NormalizedLMCC file path}.  X axis is the removed
-    fraction (unit cost) or cumulative cost (weighted variant)."""
+    """curves: {method label: NormalizedLMCC file path} (unweighted), or
+    {label: (cost file path, NormalizedLMCC file path)} when weighted=True.
+
+    X axis is the removed node fraction (unit cost) or the cumulative removal
+    cost read from the cost file (weighted; a bare LMCC path falls back to
+    the node fraction)."""
     fig, ax = plt.subplots(figsize=(5, 4))
-    for label, path in curves.items():
-        y = read_lmcc_file(path)
-        x = np.arange(len(y)) / max(len(y) - 1, 1)
+    for label, spec in curves.items():
+        if weighted and not isinstance(spec, str):
+            cost_path, lmcc_path = spec
+            y = read_lmcc_file(lmcc_path)
+            x = read_cost_file(cost_path)
+            m = min(len(x), len(y))
+            x, y = x[:m], y[:m]
+        else:
+            path = spec if isinstance(spec, str) else spec[-1]
+            y = read_lmcc_file(path)
+            x = np.arange(len(y)) / max(len(y) - 1, 1)
         ax.plot(x, y, label=label, linewidth=1.2)
     ax.set_xlabel("removed cost fraction" if weighted else "removed node fraction")
     ax.set_ylabel("normalized LMCC")

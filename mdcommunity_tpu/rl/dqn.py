@@ -52,6 +52,7 @@ from mdcommunity_tpu.models.net import (
     train_forward,
 )
 from mdcommunity_tpu.utils.config import Config
+from mdcommunity_tpu.utils.profiling import ThroughputMeter, device_timer
 
 
 # ---------------------------------------------------------------------------
@@ -730,6 +731,10 @@ class DQNAgent:
 
         best = float("inf")
         t_window = time.perf_counter()
+        # per-window device-fenced timing + throughput counters
+        # (reference observability: wall-clock prints :497,510-523)
+        prof: dict = {}
+        fit_meter = ThroughputMeter("fit-iters")
         try:
             for it in range(start_iter, cfg.max_iteration):
                 self.iteration = it
@@ -739,7 +744,8 @@ class DQNAgent:
                     0.0, (cfg.eps_start - cfg.eps_end) * (cfg.eps_step - it) / cfg.eps_step
                 )
                 if it % 10 == 0:
-                    self.play_games(10, eps)
+                    with device_timer("play", sink=prof):
+                        self.play_games(10, eps)
                 if it % cfg.save_frequency == 0:
                     t0 = time.time()
                     if cfg.variant == "ce":
@@ -751,10 +757,14 @@ class DQNAgent:
                         self.save(os.path.join(save_dir, "best_model.ckpt"))
                     vc_out.write(f"{frac:.16f}\n")
                     vc_out.flush()
+                    fit_meter.add(cfg.save_frequency if it else 0,
+                                  prof.pop("fit", 0.0))
                     log(
                         f"iter {it}, eps {eps:.4f}, mean vc {frac:.6f} "
                         f"(valid {time.time()-t0:.1f}s, window "
-                        f"{time.perf_counter()-t_window:.1f}s)"
+                        f"{time.perf_counter()-t_window:.1f}s, "
+                        f"play {prof.pop('play', 0.0):.1f}s, "
+                        f"fit {fit_meter.rate:.1f} it/s)"
                     )
                     if cfg.variant == "ce":
                         # reference LMCC-DEBUG / CE-PRIOR lines (:636-677)
@@ -776,7 +786,8 @@ class DQNAgent:
                     )
                 if it % cfg.update_time == 0:
                     self.take_snapshot()
-                self.fit()
+                with device_timer("fit", sink=prof):
+                    self.fit()
         finally:
             self.iteration = cfg.max_iteration
             self.save(os.path.join(save_dir, "latest.ckpt"))

@@ -90,36 +90,47 @@ def main():
         float(nop(jnp.float32(0)))
     rtt = (time.perf_counter() - t0) / 5
 
-    def timed(chain, x):
-        float(jnp.sum(chain(x)))  # compile + warm
-        t0 = time.perf_counter()
-        float(jnp.sum(chain(x)))
-        return (time.perf_counter() - t0 - rtt) / K
+    def timed(chain, *args, reps=5):
+        """Median of `reps` timed runs of the warm chain (one compile+warm
+        first); RTT-corrected per run."""
+        float(jnp.sum(chain(*args)))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.sum(chain(*args)))
+            ts.append((time.perf_counter() - t0 - rtt) / K)
+        return float(np.median(ts))
 
-    gx = jax.grad(
-        lambda x: jnp.sum(jnp.square(spmm_dense_band(dbg, row, col, x))) * 1e-6
-    )
+    # NB: the graph pytrees ride as jit ARGUMENTS — closing over them embeds
+    # the multi-hundred-MB base as an HLO constant, which the remote-compile
+    # tunnel rejects (HTTP 413) and which would bloat any real executable.
 
     @jax.jit
-    def chain_xla(h):
+    def chain_xla(dbg, row, col, h):
+        gx = jax.grad(
+            lambda x: jnp.sum(jnp.square(spmm_dense_band(dbg, row, col, x))) * 1e-6
+        )
+
         def body(i, x):
             return x + gx(x) / (1.0 + jnp.float32(i))
 
         return jax.lax.fori_loop(0, K, body, h)
 
-    gp = jax.grad(
-        lambda x2: jnp.sum(jnp.square(spmm_band_packed(pk, dbg, row, col, x2))) * 1e-6
-    )
-
     @jax.jit
-    def chain_pk(h2):
+    def chain_pk(pk, dbg, row, col, h2):
+        gp = jax.grad(
+            lambda x2: jnp.sum(
+                jnp.square(spmm_band_packed(pk, dbg, row, col, x2))
+            ) * 1e-6
+        )
+
         def body(i, x2):
             return x2 + gp(x2) / (1.0 + jnp.float32(i))
 
         return jax.lax.fori_loop(0, K, body, h2)
 
-    t_xla = timed(chain_xla, h)
-    t_pk = timed(chain_pk, h2)
+    t_xla = timed(chain_xla, dbg, row, col, h)
+    t_pk = timed(chain_pk, pk, dbg, row, col, h2)
     print(f"XLA engine    fwd+bwd: {t_xla*1e3:8.3f} ms  ({e2/t_xla/1e9:.3f} Ge/s)")
     print(f"Pallas packed fwd+bwd: {t_pk*1e3:8.3f} ms  ({e2/t_pk/1e9:.3f} Ge/s)")
     print(f"speedup: {t_xla/t_pk:.2f}x")
