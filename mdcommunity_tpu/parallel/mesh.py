@@ -69,17 +69,26 @@ def init_distributed(
     """
     import jax
 
-    if jax.process_count() == 1 and (
-        coordinator_address is not None or num_processes not in (None, 1)
-    ):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    elif jax.process_count() == 1 and coordinator_address is None:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # single-process run (no cluster env): nothing to do
+    # must not query the backend (jax.process_count()/jax.devices()) before
+    # initialize — that freezes a single-process XLA client; inspect the
+    # distributed service state instead
+    try:
+        from jax._src.distributed import global_state as _gs
+
+        already = _gs.client is not None
+    except Exception:  # pragma: no cover - private-API drift
+        already = False
+
+    if not already:
+        if coordinator_address is not None or num_processes not in (None, 1):
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            try:
+                jax.distributed.initialize()
+            except Exception:
+                pass  # single-process run (no cluster env): nothing to do
     return jax.process_index()
