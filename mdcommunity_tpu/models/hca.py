@@ -165,9 +165,18 @@ def hca_forward(
     inputs: HcaInputs,
     max_bp_iter: int = 3,
     top_frac: float = 0.3,
+    ref_quirks: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Q over all nodes.  Returns (q_all [B, N] with -inf at dead nodes,
-    fused node embeddings [2, B, N, D] for the Laplacian loss)."""
+    fused node embeddings [2, B, N, D] for the Laplacian loss).
+
+    ref_quirks=True replicates the reference net's layer-gate quirk for
+    exact-parity testing: its gate averages `node_embedding[l][nodes_cnt:]`
+    (HCA net :283-295) — ALL max_comm_size post-fusion community rows
+    INCLUDING the zero-padding appended for the smaller layer (which fusion
+    has made non-zero), i.e. sum over c_pad rows / c_pad — while the decoder
+    correctly averages only the layer's real communities (:234-237).  The
+    default computes both means over real communities."""
     b, n = inputs.active.shape
     c_pad = inputs.member.shape[2]
     d = params["w_n2l"].shape[1]
@@ -234,7 +243,12 @@ def hca_forward(
         q_l = jnp.where(node_sel > 0, q_raw, -1e9)
         q_layers.append(q_l)
 
-        gate_in = h_global                              # per-graph mean comm emb
+        if ref_quirks:
+            # reference gate: mean over ALL c_pad post-fusion rows (padding
+            # included), HCA net :283-295
+            gate_in = jnp.sum(y, axis=1) / float(c_pad)
+        else:
+            gate_in = h_global                          # per-graph mean comm emb
         gates.append(
             (jax.nn.relu(gate_in @ params["w_layer1"]) @ params["w_layer2"])[..., 0]
         )

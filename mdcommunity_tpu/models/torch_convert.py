@@ -27,7 +27,7 @@ def state_dict_to_params(sd: Dict) -> Dict:
         return jnp.asarray(v, jnp.float32)
 
     prefix = "layerNodeAttention_weight"
-    return {
+    params = {
         "w_n2l": arr("w_n2l"),
         "p_node_conv": arr("p_node_conv"),
         "p_node_conv2": arr("p_node_conv2"),
@@ -44,6 +44,14 @@ def state_dict_to_params(sd: Dict) -> Dict:
             "logis_b": arr(f"{prefix}.logis.parameter.bias"),
         },
     }
+    # HCA-architecture checkpoints (HCA net __init__: w_n2l [3, 64] + macro /
+    # decoder heads).  NB: the capsule's non-SMOKE HCA model dirs contain
+    # BASE-architecture state_dicts (14 keys, w_n2l [2, 64]) that the HCA net
+    # cannot load — only the SMOKE dir holds genuine HCA weights.
+    for k in ("w_macro", "w_comm_score", "w_micro_score"):
+        if k in sd:
+            params[k] = arr(k)
+    return params
 
 
 def load_torch_checkpoint(path: str) -> Dict:

@@ -182,6 +182,99 @@ def reference_predict(ns, net, nx_g1, nx_g2, covered: list):
 
 
 CE_DIR = "/root/reference/code/CEMultiDismantler"
+HCA_DIR = "/root/reference/code/HCA-Dismantler"
+HCA_SMOKE_CKPT = (
+    HCA_DIR + "/models/g0-1_10w_TORCH-Model_GMM_30_50_SMOKE/best_model.ckpt"
+)
+
+
+def install_fake_cdlib(seed: int = 0):
+    """cdlib is not installed in this image; the HCA variant imports
+    `from cdlib import algorithms` and calls `algorithms.leiden(G)`.  Shim it
+    with networkx Louvain under a fixed seed — the SAME partition call our
+    graphs/hca.py uses, so both pipelines see identical communities and the
+    parity comparison isolates the network math."""
+    if "cdlib" in sys.modules:
+        return
+    import networkx as nx
+
+    mod = types.ModuleType("cdlib")
+    alg = types.ModuleType("cdlib.algorithms")
+
+    class _Coms:
+        def __init__(self, communities):
+            self.communities = communities
+
+    def leiden(G):
+        return _Coms(
+            [sorted(c) for c in nx.community.louvain_communities(G, seed=seed)]
+        )
+
+    alg.leiden = leiden
+    mod.algorithms = alg
+    sys.modules["cdlib"] = mod
+    sys.modules["cdlib.algorithms"] = alg
+
+
+def build_reference_hca_net(ns, device=None):
+    import torch
+
+    device = device or torch.device("cpu")
+    fusion = ns.BitwiseMultipyLogis(
+        64, dropout=0.5, alpha=0.5, metapath_number=2, device=device
+    )
+    net = ns.MultiDismantler_net_graphsage.MultiDismantler_net(
+        fusion, device=device
+    )
+    net.eval()
+    return net
+
+
+def reference_predict_hca(ns, net, nx_g1, nx_g2, covered: list):
+    """HCA variant Q-values for one graph state.
+
+    Graph_test lacks the `subgraphs`/`node_features` attributes the HCA env
+    expects (reading them raises AttributeError, silently degrading to dummy
+    zero features via the except at mvc_env.py:89-95) — attach them so the
+    genuine community path runs.  Returns (q float[N] with -inf for dead,
+    node_features [N, 3], communities per layer, remove_edge)."""
+    import numpy as np
+    import torch
+
+    g = ns.graph.Graph_test(nx_g1.copy(), nx_g2.copy())
+    g.subgraphs = [[], []]
+    g.node_features = None
+    env = ns.mvc_env.MvcEnv(50)
+    env.s0(g)  # runs calculate_hca_features via the cdlib shim
+    for a in covered:
+        env.stepWithoutReward(a)
+
+    pbg = ns.PrepareBatchGraph.PrepareBatchGraph(0)
+    pbg.SetupPredAll([0], [g], [env.action_list], [env.remove_edge])
+    idx_map = [it[0] for it in pbg.idx_map_list][0]
+
+    with torch.no_grad():
+        q = net.test_forward(
+            node_input=pbg.node_feat_tensor,
+            subgsum_param=pbg.subgsum_param,
+            n2nsum_param=pbg.n2nsum_param,
+            rep_global=pbg.rep_global,
+            aux_input=torch.tensor(np.array(pbg.aux_feat), dtype=torch.float32),
+            adj=pbg.adj,
+            v_adj=pbg.virtual_adj,
+            comm_adj=pbg.comm_adj_param,
+        )
+    raw = q.numpy().reshape(-1)
+    out = np.full(g.num_nodes, -np.inf)
+    pos = 0
+    for k in range(len(idx_map)):
+        if idx_map[k] >= 0:
+            out[k] = raw[pos]
+            pos += 1
+    for k in env.action_list:
+        out[k] = -np.inf
+    assert pos == len(raw)
+    return out, np.asarray(g.node_features), g.subgraphs, env.remove_edge
 
 
 def reference_predict_ce(ns, net, nx_g1, nx_g2, prior, covered: list):
