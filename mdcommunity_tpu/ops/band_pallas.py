@@ -175,6 +175,39 @@ def pack_band(dbg: DenseBandGraph, G: int = 8) -> PackedBand:
     )
 
 
+def sever_edges_packed(pk: PackedBand, dbg: DenseBandGraph, src, dst, valid):
+    """Zero individual directed edges in BOTH operand layouts.
+
+    The packed backend keeps a frozen re-layout of dbg.base (pk.base_pk), so
+    dense_band.sever_edges alone would silently drop in-band severs while
+    mirror/spill severs (read live from dbg.w_cov / dbg.w_spill) still apply.
+    Always sever through this helper when using the packed backend; it edits
+    dbg (band slots + overflow weights) and mirrors the in-band zeroing into
+    the packed parity layout.  Returns (pk, dbg)."""
+    from mdcommunity_tpu.ops.dense_band import sever_edges
+
+    new_dbg = sever_edges(dbg, src, dst, valid)
+
+    S, B, W2 = pk.S, pk.B, pk.W2
+    Wh = W2 // 2
+    pad_n = pk.pad_n
+    blk = dst // S
+    lr = dst - blk * S
+    lc = (src - (blk * S - B)) % pad_n
+    lc_t = (dst - ((src // S) * S - B)) % pad_n
+    ib = (lc < W2) & (lc_t < W2) & valid
+
+    sb = jnp.where(ib, blk, 0)
+    par = jnp.where(ib, jnp.remainder(lr, 2), 0)
+    sr = jnp.where(ib, lr // 2, 0)
+    sc = jnp.where(ib, lc // 2 + jnp.remainder(lc, 2) * Wh, 0)
+    keep = pk.base_pk[sb, par, sr, sc]
+    base_pk = pk.base_pk.at[sb, par, sr, sc].set(
+        jnp.where(ib, jnp.zeros_like(keep), keep)
+    )
+    return dataclasses.replace(pk, base_pk=base_pk), new_dbg
+
+
 # ---------------------------------------------------------------- kernel
 
 @functools.lru_cache(maxsize=32)
@@ -264,21 +297,24 @@ def _make_kernel(nb, S, B, Cp, D, G):
         me = kk == 2 * jax.lax.rem(ii, 64)
         mo = kk == 2 * jax.lax.rem(ii, 64) + 1
 
-        def cols(srows, rows, off):
-            """[rows//64, 128] scale rows -> ([rows,1] even, [rows,1] odd)."""
+        def cols(srows, rows):
+            """[rows//64, 128] scale rows -> ([rows,1] even, [rows,1] odd).
+
+            Valid because every window start below is 64-packed-row aligned
+            (S%128 == 0 and B%128 == 0 guarantee g*SR / g*Sh starts land on
+            128-node boundaries), so the parity masks me/mo apply from row 0.
+            """
             t = jnp.broadcast_to(
                 srows[:, None, :], (rows // 64, 64, 128)
             ).reshape(rows, 128)
             zero = jnp.zeros_like(t)
-            ce = jnp.sum(jnp.where(me[off : off + rows], t, zero), axis=1,
-                         keepdims=True)
-            co = jnp.sum(jnp.where(mo[off : off + rows], t, zero), axis=1,
-                         keepdims=True)
+            ce = jnp.sum(jnp.where(me[:rows], t, zero), axis=1, keepdims=True)
+            co = jnp.sum(jnp.where(mo[:rows], t, zero), axis=1, keepdims=True)
             return ce, co
 
         for g in range(G):  # static unroll
-            ce, co = cols(cw[slot, pl.ds(g * SR, W2 // 128), :], Wh, 0)
-            re_, ro = cols(rw[slot, pl.ds(g * SR, SR), :], Sh, 0)
+            ce, co = cols(cw[slot, pl.ds(g * SR, W2 // 128), :], Wh)
+            re_, ro = cols(rw[slot, pl.ds(g * SR, SR), :], Sh)
 
             w2 = win[slot, pl.ds(g * Sh, Wh), :]  # [Wh, 2D] f32
             lo = (w2[:, :D] * ce).astype(jnp.bfloat16)  # even src, scaled
@@ -411,5 +447,10 @@ def spmm_band_packed(pk, dbg, row, col, h2, interpret: bool = False):
     the full stored operator (band + mirror overflow + spill).
 
     h2 packed [pad_n/2, 2D]; row/col per-node f32[pad_n].  Differentiable in
-    h2 only (adjacency values are graph constants; backward uses A^T = A)."""
+    h2 only (adjacency values are graph constants; backward uses A^T = A).
+
+    Cascade severs: pk.base_pk is a frozen re-layout of dbg.base — do NOT
+    call dense_band.sever_edges alone with this backend (in-band severs would
+    be silently dropped while mirror/spill severs apply); use
+    sever_edges_packed, which edits both layouts consistently."""
     return _OPS[bool(interpret)](pk, dbg, row, col, h2)

@@ -83,3 +83,90 @@ def test_packed_vjp_matches(rng):
 def test_pack_roundtrip(rng):
     h = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(unpack_rows(pack_rows(h))), h)
+
+
+def test_packed_pure_band_no_mirror(rng):
+    """All edges in-band (dbg.ccoo empty) — covers the Cp==0 kernel branch
+    (different argument arity / in_specs), which the mirror-bearing tests
+    above never reach."""
+    n, e = 2048, 4096
+    src = rng.integers(0, n, e)
+    off = rng.integers(1, 64, e)  # |off| < B=128: always in-band
+    dst = (src + off * rng.choice([-1, 1], e)) % n
+    ssym = np.concatenate([src, dst])
+    dsym = np.concatenate([dst, src])
+    dbg = build_dense_band(ssym, dsym, None, n, S=512, B=128, dtype=jnp.int8)
+    assert dbg.ccoo.d_src.shape[0] == 0 and dbg.spill.d_src.shape[0] == 0
+    pk = pack_band(dbg)
+    assert pk.Cp == 0
+
+    covered = jnp.asarray(rng.random(dbg.pad_n) < 0.1)
+    row, col = live_scales(dbg, covered, "sum")
+    h = jnp.asarray(rng.standard_normal((dbg.pad_n, 64)).astype(np.float32))
+    ref = spmm_dense_band(dbg, row, col, h, precise=True)
+    out = unpack_rows(spmm_band_packed(pk, dbg, row, col, pack_rows(h), True))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(ref).max()),
+    )
+    g_ref = jax.grad(
+        lambda x: jnp.sum(jnp.square(spmm_dense_band(dbg, row, col, x, True)))
+    )(h)
+    g_pk = jax.grad(
+        lambda x2: jnp.sum(
+            jnp.square(spmm_band_packed(pk, dbg, row, col, x2, True))
+        )
+    )(pack_rows(h))
+    np.testing.assert_allclose(
+        np.asarray(unpack_rows(g_pk)), np.asarray(g_ref),
+        rtol=3e-2, atol=3e-2 * float(jnp.abs(g_ref).max()),
+    )
+
+
+def test_sever_edges_packed_consistent(rng):
+    """sever_edges_packed keeps the frozen packed layout in sync with dbg:
+    in-band, mirror, and spill severs all apply identically to both engines
+    (ADVICE r1: dense_band.sever_edges alone would leave pk.base_pk stale)."""
+    from mdcommunity_tpu.ops.band_pallas import sever_edges_packed
+    from mdcommunity_tpu.ops.dense_band import sever_edges
+
+    n, e = 2048, 4096
+    ssym, dsym = _ring_graph(rng, n, e)
+    dbg = build_dense_band(ssym, dsym, None, n, S=512, B=128, dtype=jnp.int8)
+    assert dbg.ccoo.d_src.shape[0] > 0
+    pk = pack_band(dbg)
+
+    # sever a mix: some in-band directed edges, some mirror/overflow edges
+    k = 16
+    idx = rng.choice(len(ssym), k // 2, replace=False)
+    sev_s = list(ssym[idx])
+    sev_d = list(dsym[idx])
+    ov = np.asarray(dbg.c_usrc)[: k // 2]
+    ovd = np.asarray(dbg.c_udst)[: k // 2]
+    sev_s += list(ov)
+    sev_d += list(ovd)
+    src_a = jnp.asarray(np.asarray(sev_s, np.int32))
+    dst_a = jnp.asarray(np.asarray(sev_d, np.int32))
+    valid = jnp.ones((len(sev_s),), bool)
+
+    pk2, dbg2 = sever_edges_packed(pk, dbg, src_a, dst_a, valid)
+    dbg_ref = sever_edges(dbg, src_a, dst_a, valid)
+    np.testing.assert_array_equal(np.asarray(dbg2.base), np.asarray(dbg_ref.base))
+    np.testing.assert_array_equal(np.asarray(dbg2.w_cov), np.asarray(dbg_ref.w_cov))
+
+    covered = jnp.asarray(rng.random(dbg.pad_n) < 0.1)
+    row, col = live_scales(dbg2, covered, "sum")
+    h = jnp.asarray(rng.standard_normal((dbg.pad_n, 64)).astype(np.float32))
+    ref = spmm_dense_band(dbg_ref, row, col, h, precise=True)
+    out = unpack_rows(spmm_band_packed(pk2, dbg2, row, col, pack_rows(h), True))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(ref).max()),
+    )
+    # and the stale-pk failure mode is real: without the packed-side edit the
+    # in-band severs are dropped
+    stale = unpack_rows(spmm_band_packed(pk, dbg_ref, row, col, pack_rows(h), True))
+    assert not np.allclose(
+        np.asarray(stale), np.asarray(ref),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(ref).max()),
+    )
