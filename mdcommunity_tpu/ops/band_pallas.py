@@ -211,7 +211,11 @@ def sever_edges_packed(pk: PackedBand, dbg: DenseBandGraph, src, dst, valid):
 # ---------------------------------------------------------------- kernel
 
 @functools.lru_cache(maxsize=32)
-def _make_kernel(nb, S, B, Cp, D, G):
+def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
+    """diag is a TIMING-DIAGNOSTIC knob (scripts/tune_band_packed.py --diag):
+    "noscale" skips the in-kernel parity scale extraction + multiplies,
+    "nodot" skips the contraction dots (DMA + scales only) — both produce
+    WRONG results and exist only to attribute kernel time."""
     W2 = S + 2 * B
     Wh = W2 // 2  # packed window rows per block
     Sh = S // 2
@@ -313,12 +317,16 @@ def _make_kernel(nb, S, B, Cp, D, G):
             return ce, co
 
         for g in range(G):  # static unroll
-            ce, co = cols(cw[slot, pl.ds(g * SR, W2 // 128), :], Wh)
-            re_, ro = cols(rw[slot, pl.ds(g * SR, SR), :], Sh)
-
             w2 = win[slot, pl.ds(g * Sh, Wh), :]  # [Wh, 2D] f32
-            lo = (w2[:, :D] * ce).astype(jnp.bfloat16)  # even src, scaled
-            hi = (w2[:, D:] * co).astype(jnp.bfloat16)  # odd src, scaled
+            if diag == "noscale":
+                lo = w2[:, :D].astype(jnp.bfloat16)
+                hi = w2[:, D:].astype(jnp.bfloat16)
+                re_ = ro = None
+            else:
+                ce, co = cols(cw[slot, pl.ds(g * SR, W2 // 128), :], Wh)
+                re_, ro = cols(rw[slot, pl.ds(g * SR, SR), :], Sh)
+                lo = (w2[:, :D] * ce).astype(jnp.bfloat16)  # even src, scaled
+                hi = (w2[:, D:] * co).astype(jnp.bfloat16)  # odd src, scaled
 
             def contract(par):
                 blk = base_ref[g, par]  # [Sh, W2] int8 [even_w|odd_w]
@@ -335,8 +343,15 @@ def _make_kernel(nb, S, B, Cp, D, G):
                     )
                 return acc
 
-            out2_ref[g, :, :D] = contract(0) * re_
-            out2_ref[g, :, D:] = contract(1) * ro
+            if diag == "nodot":
+                out2_ref[g, :, :D] = lo[:Sh] * re_
+                out2_ref[g, :, D:] = hi[:Sh] * ro
+            elif diag == "noscale":
+                out2_ref[g, :, :D] = contract(0)
+                out2_ref[g, :, D:] = contract(1)
+            else:
+                out2_ref[g, :, :D] = contract(0) * re_
+                out2_ref[g, :, D:] = contract(1) * ro
 
     in_specs = [
         pl.BlockSpec(
@@ -383,11 +398,12 @@ def _make_kernel(nb, S, B, Cp, D, G):
     return run
 
 
-def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret):
+def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
+           diag="full"):
     """row ⊙ (A @ (col ⊙ h)) in packed layout — one kernel pass."""
     D = h2.shape[1] // 2
     nb, Sh = pk.nb, pk.S // 2
-    run = _make_kernel(nb, pk.S, pk.B, pk.Cp, D, pk.G)
+    run = _make_kernel(nb, pk.S, pk.B, pk.Cp, D, pk.G, diag)
     colv = col.reshape(-1, 128)
     rowv = row.reshape(-1, 128)
     args = [pk.base_pk, h2, colv, rowv]

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--gs", type=int, nargs="*", default=[4, 8, 16])
     ap.add_argument("--k", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--diag", action="store_true",
+                    help="also time forward-only diagnostic kernel variants "
+                         "(noscale / nodot) to attribute kernel time")
     args = ap.parse_args()
 
     import jax
@@ -110,6 +113,21 @@ def main():
             f"packed G={G}: {t_pk*1e3:.3f} ms  {e2/t_pk/1e9:.3f} Ge/s "
             f"({t_xla/t_pk:.2f}x)", flush=True,
         )
+
+        if args.diag:
+            from mdcommunity_tpu.ops.band_pallas import _apply
+
+            for diag in ("full", "noscale", "nodot"):
+                @jax.jit
+                def chain_d(pk, dbg, row, col, h2, _d=diag):
+                    def body(i, x2):
+                        y = _apply(pk, dbg, row, col, x2, False, _d)
+                        return x2 + y * 1e-6
+                    return jax.lax.fori_loop(0, K, body, h2)
+
+                t_d = timed(chain_d, pk, dbg, row, col, h2)
+                results[f"diag_G{G}_{diag}"] = round(t_d * 1e3, 3)
+                print(f"  fwd-only G={G} {diag}: {t_d*1e3:.3f} ms", flush=True)
 
     print(json.dumps(dict(workload=dict(n=n, e2=e2, D=D, S=args.S, B=args.B, K=K),
                           results=results)))
