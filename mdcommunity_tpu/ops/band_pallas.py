@@ -229,16 +229,29 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
     WR = GS // 128 + 2 * BR  # col-scale window rows
     GR = GS // 128  # row-scale window rows
 
-    def kernel(base_ref, h2_hbm, colv_hbm, rowv_hbm, *rest):
+    def kernel(base_ref, h2_hbm, colw_ref, roww_ref, *rest):
         if Cp:
-            geT_ref, sub_ref, out2_ref, win, cw, rw, sems = rest
+            geT_ref, sub_ref, out2_ref, win, sems = rest
         else:
-            out2_ref, win, cw, rw, sems = rest
+            out2_ref, win, sems = rest
         p = pl.program_id(0)
 
-        def dmas(prog, slot):
-            # h window: packed rows [prog*GS/2 - B/2, ...+GS/2 + B/2), three
-            # always-contiguous pieces (wrap only at the array ends)
+        # h window: packed rows [prog*GS/2 - B/2, prog*GS/2 + GS/2 + B/2).
+        # Middle programs issue ONE contiguous DMA (and one semaphore wait);
+        # the first/last programs wrap at the array ends and use three pieces.
+        # Scale windows arrive via BlockSpec inputs (no manual DMA at all):
+        # the caller pre-gathers per-program windows, tiny (~8 MB) XLA work.
+        def h_single(prog, slot):
+            # clip keeps the (traced-unconditionally) slice in bounds; it is
+            # the identity for every program this branch actually runs on
+            row0 = jnp.clip(prog * (GS // 2) - B // 2, 0, pad_half - WIN)
+            return pltpu.make_async_copy(
+                h2_hbm.at[pl.ds(row0, WIN)],
+                win.at[slot],
+                sems.at[slot, 0],
+            )
+
+        def h_pieces(prog, slot):
             main = pltpu.make_async_copy(
                 h2_hbm.at[pl.ds(prog * (GS // 2), GS // 2)],
                 win.at[slot, pl.ds(B // 2, GS // 2)],
@@ -254,45 +267,61 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
                 win.at[slot, pl.ds(B // 2 + GS // 2, B // 2)],
                 sems.at[slot, 2],
             )
-            # col-scale window: rows [prog*GS/128 - BR, ...+GS/128 + BR)
-            cmain = pltpu.make_async_copy(
-                colv_hbm.at[pl.ds(prog * GR, GR)],
-                cw.at[slot, pl.ds(BR, GR)],
-                sems.at[slot, 3],
-            )
-            chead = pltpu.make_async_copy(
-                colv_hbm.at[pl.ds((prog * GR - BR) % R, BR)],
-                cw.at[slot, pl.ds(0, BR)],
-                sems.at[slot, 4],
-            )
-            ctail = pltpu.make_async_copy(
-                colv_hbm.at[pl.ds(((prog + 1) * GR) % R, BR)],
-                cw.at[slot, pl.ds(BR + GR, BR)],
-                sems.at[slot, 5],
-            )
-            # row-scale window: exactly this program's rows (no halo)
-            rmain = pltpu.make_async_copy(
-                rowv_hbm.at[pl.ds(prog * GR, GR)],
-                rw.at[slot, pl.ds(0, GR)],
-                sems.at[slot, 6],
-            )
-            return main, head, tail, cmain, chead, ctail, rmain
+            return main, head, tail
+
+        # n_prog < 3 has no middle programs (and WIN may exceed pad_half):
+        # statically fall back to the 3-piece path everywhere
+        has_middle = n_prog >= 3
+
+        def start(prog, slot):
+            if not has_middle:
+                for dma in h_pieces(prog, slot):
+                    dma.start()
+                return
+            # jnp bool, NOT a Python bool: for literal prog (the p==0
+            # warm-up) Python's ~True is -2 — truthy — and both branches
+            # would run, clobbering the wrapped window
+            wraps = jnp.logical_or(jnp.int32(prog) == 0,
+                                   jnp.int32(prog) == n_prog - 1)
+
+            @pl.when(wraps)
+            def _():
+                for dma in h_pieces(prog, slot):
+                    dma.start()
+
+            @pl.when(jnp.logical_not(wraps))
+            def _():
+                h_single(prog, slot).start()
+
+        def wait(prog, slot):
+            if not has_middle:
+                for dma in h_pieces(prog, slot):
+                    dma.wait()
+                return
+            wraps = jnp.logical_or(jnp.int32(prog) == 0,
+                                   jnp.int32(prog) == n_prog - 1)
+
+            @pl.when(wraps)
+            def _():
+                for dma in h_pieces(prog, slot):
+                    dma.wait()
+
+            @pl.when(jnp.logical_not(wraps))
+            def _():
+                h_single(prog, slot).wait()
 
         slot = jax.lax.rem(p, 2)
         nxt = jax.lax.rem(p + 1, 2)
 
         @pl.when(p == 0)
         def _():
-            for dma in dmas(0, 0):
-                dma.start()
+            start(0, 0)
 
         @pl.when(p + 1 < n_prog)
         def _():
-            for dma in dmas(p + 1, nxt):
-                dma.start()
+            start(p + 1, nxt)
 
-        for dma in dmas(p, slot):
-            dma.wait()
+        wait(p, slot)
 
         # parity lane masks: packed row i of a scale window maps to lane
         # 2*(i % 64) (+1 for odd) of its 128-node scale row i // 64
@@ -323,13 +352,16 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
                 hi = w2[:, D:].astype(jnp.bfloat16)
                 re_ = ro = None
             else:
-                ce, co = cols(cw[slot, pl.ds(g * SR, W2 // 128), :], Wh)
-                re_, ro = cols(rw[slot, pl.ds(g * SR, SR), :], Sh)
+                ce, co = cols(colw_ref[0, pl.ds(g * SR, W2 // 128), :], Wh)
+                re_, ro = cols(roww_ref[0, pl.ds(g * SR, SR), :], Sh)
                 lo = (w2[:, :D] * ce).astype(jnp.bfloat16)  # even src, scaled
                 hi = (w2[:, D:] * co).astype(jnp.bfloat16)  # odd src, scaled
 
-            def contract(par):
-                blk = base_ref[g, par]  # [Sh, W2] int8 [even_w|odd_w]
+            def contract2():
+                # par-stacked: both destination parities share lo/hi, so one
+                # [(2Sh), Wh] x [Wh, D] dot pair serves both (M fills the MXU
+                # even at small Sh; halves the dot-call count)
+                blk = base_ref[g].reshape(2 * Sh, W2)  # [2Sh, W2] int8
                 be = blk[:, :Wh].astype(jnp.bfloat16)
                 bo = blk[:, Wh:].astype(jnp.bfloat16)
                 acc = jax.lax.dot(
@@ -337,7 +369,7 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
                 ) + jax.lax.dot(bo, hi, preferred_element_type=jnp.float32)
                 if Cp:  # mirror expansion: + G^T @ sub
                     acc = acc + jax.lax.dot(
-                        geT_ref[g, par].astype(jnp.bfloat16),
+                        geT_ref[g].reshape(2 * Sh, Cp).astype(jnp.bfloat16),
                         sub_ref[g].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32,
                     )
@@ -347,19 +379,25 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
                 out2_ref[g, :, :D] = lo[:Sh] * re_
                 out2_ref[g, :, D:] = hi[:Sh] * ro
             elif diag == "noscale":
-                out2_ref[g, :, :D] = contract(0)
-                out2_ref[g, :, D:] = contract(1)
+                acc = contract2()
+                out2_ref[g, :, :D] = acc[:Sh]
+                out2_ref[g, :, D:] = acc[Sh:]
             else:
-                out2_ref[g, :, :D] = contract(0) * re_
-                out2_ref[g, :, D:] = contract(1) * ro
+                acc = contract2()
+                out2_ref[g, :, :D] = acc[:Sh] * re_
+                out2_ref[g, :, D:] = acc[Sh:] * ro
 
     in_specs = [
         pl.BlockSpec(
             (G, 2, Sh, W2), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(memory_space=pl.ANY),  # h2
-        pl.BlockSpec(memory_space=pl.ANY),  # colv
-        pl.BlockSpec(memory_space=pl.ANY),  # rowv
+        pl.BlockSpec(  # per-program col-scale window (pre-gathered)
+            (1, WR, 128), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(  # per-program row-scale window
+            (1, GR, 128), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+        ),
     ]
     if Cp:
         in_specs += [
@@ -381,9 +419,7 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
         ),
         scratch_shapes=[
             pltpu.VMEM((2, WIN, 2 * D), jnp.float32),
-            pltpu.VMEM((2, WR, 128), jnp.float32),
-            pltpu.VMEM((2, GR, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 7)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
 
@@ -392,6 +428,12 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb, Sh, 2 * D), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                # default scoped-vmem cap is 16 MB; larger G (fewer, bigger
+                # programs — the lever against per-program overhead) needs
+                # more double-buffered scratch
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(*args)
 
@@ -404,9 +446,20 @@ def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
     D = h2.shape[1] // 2
     nb, Sh = pk.nb, pk.S // 2
     run = _make_kernel(nb, pk.S, pk.B, pk.Cp, D, pk.G, diag)
-    colv = col.reshape(-1, 128)
-    rowv = row.reshape(-1, 128)
-    args = [pk.base_pk, h2, colv, rowv]
+    # pre-gather per-program scale windows (tiny: ~2x4 MB) so the kernel has
+    # zero manual scale DMAs — they ride plain pipelined BlockSpec inputs
+    R = pk.pad_n // 128
+    n_prog = nb // pk.G
+    GR = pk.G * pk.S // 128
+    BR = pk.B // 128
+    WR = GR + 2 * BR
+    colv = col.reshape(R, 128)
+    ci = (
+        jnp.arange(n_prog)[:, None] * GR - BR + jnp.arange(WR)[None, :]
+    ) % R
+    colw = jnp.take(colv, ci, axis=0)            # [n_prog, WR, 128]
+    roww = row.reshape(n_prog, GR, 128)          # no halo on the dst side
+    args = [pk.base_pk, h2, colw, roww]
     if pk.Cp:
         # prologue: mirror compaction mir = G @ (col ⊙ h) (packed-lane
         # einsum + lane-half select + per-slot col extraction), then the

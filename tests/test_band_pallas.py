@@ -36,12 +36,15 @@ def _ring_graph(rng, n, e, scale=24.0):
 
 
 @pytest.mark.parametrize("agg", ["sum", "mean"])
-def test_packed_matches_dense_band(rng, agg):
+@pytest.mark.parametrize("G", [8, 2])
+def test_packed_matches_dense_band(rng, agg, G):
+    # G=8 -> n_prog=1 (wrap-only 3-piece h DMA); G=2 -> n_prog=4, exercising
+    # the middle programs' single contiguous h-window DMA
     n, e = 4096, 8192
     ssym, dsym = _ring_graph(rng, n, e)
     dbg = build_dense_band(ssym, dsym, None, n, S=512, B=128, dtype=jnp.int8)
     assert dbg.ccoo.d_src.shape[0] > 0, "want mirror-lane coverage"
-    pk = pack_band(dbg)
+    pk = pack_band(dbg, G=G)
 
     covered = jnp.asarray(rng.random(dbg.pad_n) < 0.15)
     row, col = live_scales(dbg, covered, agg)
