@@ -211,8 +211,12 @@ def sever_edges_packed(pk: PackedBand, dbg: DenseBandGraph, src, dst, valid):
 # ---------------------------------------------------------------- kernel
 
 @functools.lru_cache(maxsize=32)
-def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
-    """diag is a TIMING-DIAGNOSTIC knob (scripts/tune_band_packed.py --diag):
+def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32):
+    """dtype: h2/out storage dtype (f32 default; bf16 halves the h-window
+    and output HBM traffic — the dots already run bf16 with f32 accumulation,
+    so only the stored activations round).
+
+    diag is a TIMING-DIAGNOSTIC knob (scripts/tune_band_packed.py --diag):
     "noscale" skips the in-kernel parity scale extraction + multiplies,
     "nodot" skips the contraction dots (DMA + scales only) — both produce
     WRONG results and exist only to attribute kernel time."""
@@ -346,7 +350,7 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
             return ce, co
 
         for g in range(G):  # static unroll
-            w2 = win[slot, pl.ds(g * Sh, Wh), :]  # [Wh, 2D] f32
+            w2 = win[slot, pl.ds(g * Sh, Wh), :]  # [Wh, 2D] storage dtype
             if diag == "noscale":
                 lo = w2[:, :D].astype(jnp.bfloat16)
                 hi = w2[:, D:].astype(jnp.bfloat16)
@@ -354,8 +358,8 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
             else:
                 ce, co = cols(colw_ref[0, pl.ds(g * SR, W2 // 128), :], Wh)
                 re_, ro = cols(roww_ref[0, pl.ds(g * SR, SR), :], Sh)
-                lo = (w2[:, :D] * ce).astype(jnp.bfloat16)  # even src, scaled
-                hi = (w2[:, D:] * co).astype(jnp.bfloat16)  # odd src, scaled
+                lo = (w2[:, :D].astype(jnp.float32) * ce).astype(jnp.bfloat16)
+                hi = (w2[:, D:].astype(jnp.float32) * co).astype(jnp.bfloat16)
 
             def contract2():
                 # par-stacked: both destination parities share lo/hi, so one
@@ -376,16 +380,20 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
                 return acc
 
             if diag == "nodot":
-                out2_ref[g, :, :D] = lo[:Sh] * re_
-                out2_ref[g, :, D:] = hi[:Sh] * ro
+                out2_ref[g, :, :D] = (
+                    lo[:Sh].astype(jnp.float32) * re_
+                ).astype(dtype)
+                out2_ref[g, :, D:] = (
+                    hi[:Sh].astype(jnp.float32) * ro
+                ).astype(dtype)
             elif diag == "noscale":
                 acc = contract2()
-                out2_ref[g, :, :D] = acc[:Sh]
-                out2_ref[g, :, D:] = acc[Sh:]
+                out2_ref[g, :, :D] = acc[:Sh].astype(dtype)
+                out2_ref[g, :, D:] = acc[Sh:].astype(dtype)
             else:
                 acc = contract2()
-                out2_ref[g, :, :D] = acc[:Sh] * re_
-                out2_ref[g, :, D:] = acc[Sh:] * ro
+                out2_ref[g, :, :D] = (acc[:Sh] * re_).astype(dtype)
+                out2_ref[g, :, D:] = (acc[Sh:] * ro).astype(dtype)
 
     in_specs = [
         pl.BlockSpec(
@@ -418,7 +426,7 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
             (G, Sh, 2 * D), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN, 2 * D), jnp.float32),
+            pltpu.VMEM((2, WIN, 2 * D), dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
@@ -427,7 +435,7 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full"):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nb, Sh, 2 * D), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nb, Sh, 2 * D), dtype),
             compiler_params=pltpu.CompilerParams(
                 # default scoped-vmem cap is 16 MB; larger G (fewer, bigger
                 # programs — the lever against per-program overhead) needs
@@ -445,7 +453,7 @@ def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
     """row ⊙ (A @ (col ⊙ h)) in packed layout — one kernel pass."""
     D = h2.shape[1] // 2
     nb, Sh = pk.nb, pk.S // 2
-    run = _make_kernel(nb, pk.S, pk.B, pk.Cp, D, pk.G, diag)
+    run = _make_kernel(nb, pk.S, pk.B, pk.Cp, D, pk.G, diag, h2.dtype)
     # pre-gather per-program scale windows (tiny: ~2x4 MB) so the kernel has
     # zero manual scale DMAs — they ride plain pipelined BlockSpec inputs
     R = pk.pad_n // 128
@@ -483,7 +491,7 @@ def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
     out2 = run(*args, interpret=interpret).reshape(pk.pad_n // 2, 2 * D)
     if dbg.spill.d_src.shape[0]:
         sp = spmm_sorted(dbg.spill, dbg.w_spill, unpack_rows(scale_packed(h2, col)))
-        out2 = out2 + scale_packed(pack_rows(sp), row)
+        out2 = (out2 + scale_packed(pack_rows(sp), row)).astype(h2.dtype)
     return out2
 
 

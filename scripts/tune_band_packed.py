@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--gs", type=int, nargs="*", default=[4, 8, 16])
     ap.add_argument("--k", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--bf16", action="store_true",
+                    help="also time the packed chain with bf16 h2/out storage")
     ap.add_argument("--diag", action="store_true",
                     help="also time forward-only diagnostic kernel variants "
                          "(noscale / nodot) to attribute kernel time")
@@ -113,6 +115,36 @@ def main():
             f"packed G={G}: {t_pk*1e3:.3f} ms  {e2/t_pk/1e9:.3f} Ge/s "
             f"({t_xla/t_pk:.2f}x)", flush=True,
         )
+
+        if args.bf16:
+            h2b = h2.astype(jnp.bfloat16)
+
+            @jax.jit
+            def chain_bf(pk, dbg, row, col, h2b):
+                gp = jax.grad(
+                    lambda x2: jnp.sum(
+                        jnp.square(
+                            spmm_band_packed(pk, dbg, row, col, x2).astype(
+                                jnp.float32
+                            )
+                        )
+                    ) * 1e-6
+                )
+
+                def body(i, x2):
+                    return x2 + gp(x2) / jnp.bfloat16(1.0 + i)
+
+                return jax.lax.fori_loop(0, K, body, h2b)
+
+            t_bf = timed(chain_bf, pk, dbg, row, col, h2b)
+            results[f"packed_bf16_G{G}"] = dict(
+                ms=round(t_bf * 1e3, 3), ges=round(e2 / t_bf / 1e9, 4),
+                speedup=round(t_xla / t_bf, 3),
+            )
+            print(
+                f"packed bf16 G={G}: {t_bf*1e3:.3f} ms  {e2/t_bf/1e9:.3f} Ge/s "
+                f"({t_xla/t_bf:.2f}x)", flush=True,
+            )
 
         if args.diag:
             from mdcommunity_tpu.ops.band_pallas import _apply

@@ -83,6 +83,38 @@ def test_packed_vjp_matches(rng):
     )
 
 
+def test_packed_bf16_storage(rng):
+    """bf16 h2/out storage (halved activation HBM traffic; f32 accumulation
+    in the dots) stays within bf16 rounding of the f32 engine."""
+    n, e = 4096, 8192
+    ssym, dsym = _ring_graph(rng, n, e)
+    dbg = build_dense_band(ssym, dsym, None, n, S=512, B=128, dtype=jnp.int8)
+    pk = pack_band(dbg, G=2)
+    covered = jnp.asarray(rng.random(dbg.pad_n) < 0.15)
+    row, col = live_scales(dbg, covered, "sum")
+    h = jnp.asarray(rng.standard_normal((dbg.pad_n, 64)).astype(np.float32))
+    ref = spmm_dense_band(dbg, row, col, h, precise=True)
+    h2b = pack_rows(h).astype(jnp.bfloat16)
+    out = spmm_band_packed(pk, dbg, row, col, h2b, True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(unpack_rows(out)).astype(np.float32), np.asarray(ref),
+        rtol=5e-2, atol=5e-2 * float(jnp.abs(ref).max()),
+    )
+    g2 = jax.grad(
+        lambda x2: jnp.sum(
+            jnp.square(spmm_band_packed(pk, dbg, row, col, x2, True).astype(jnp.float32))
+        )
+    )(h2b)
+    g_ref = jax.grad(
+        lambda x: jnp.sum(jnp.square(spmm_dense_band(dbg, row, col, x, True)))
+    )(h)
+    np.testing.assert_allclose(
+        np.asarray(unpack_rows(g2)).astype(np.float32), np.asarray(g_ref),
+        rtol=8e-2, atol=8e-2 * float(jnp.abs(g_ref).max()),
+    )
+
+
 def test_pack_roundtrip(rng):
     h = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(unpack_rows(pack_rows(h))), h)
