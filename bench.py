@@ -2,9 +2,13 @@
 
 This is BASELINE.json's north-star metric — the reference's hot kernel is
 torch_sparse.spmm on CUDA (MultiDismantler_net_graphsage.py:139-377, loss
-MultiDismantler_torch.py:420); ours is the block-banded dense engine in
-mdcommunity_tpu/ops/dense_band.py (locality-ordered adjacency as block-band
-storage, aggregation = batched MXU matmuls, liveness as rank-1 scales).
+MultiDismantler_torch.py:420); ours is the packed Pallas band kernel
+(mdcommunity_tpu/ops/band_pallas.py: lane-packed node pairs, single-DMA
+double-buffered h windows, in-kernel rank-1 liveness scales and mirror
+expansion) over block-band adjacency storage (ops/dense_band.py), with bf16
+activation storage and f32 accumulation — the production TPU configuration
+(exact-parity tested against the f32 XLA engine in tests/test_band_pallas.py;
+the measured engine A/B lives in scripts/tune_band_packed.py).
 
 Workload: a 2^20-node layer of a locality-ordered duplex graph — circular
 power-law offsets with tail exponent 2.5, matching the GMM generator's
@@ -13,7 +17,7 @@ after angular ordering — 2^23 directed (symmetrized) edges, 64-dim features
 (the model family's embedding width), 10% of nodes removed (mid-dismantling
 liveness mask).  Timed: value_and_grad of a scalar loss through the SpMM,
 i.e. forward + backward, K iterations chained inside one jit (a host sync via
-float() is the only reliable fence on this backend).
+float() is the only reliable fence on this backend), median of 5 runs.
 
 vs_baseline: the reference publishes no edges/s number (it is a single-GPU
 Python capsule); the denominator 6.0e8 edges/s is a documented estimate of
@@ -43,14 +47,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mdcommunity_tpu.ops.dense_band import (
-        build_dense_band,
-        live_scales,
-        spmm_dense_band,
+    from mdcommunity_tpu.ops.band_pallas import (
+        pack_band,
+        pack_rows,
+        spmm_band_packed,
     )
+    from mdcommunity_tpu.ops.dense_band import build_dense_band, live_scales
 
     n, e, dim = 1 << 20, 1 << 22, 64
-    S, B = 512, 128
+    S, B, G = 256, 128, 8
     baseline_edges_per_s = 6.0e8
     K = 32
 
@@ -60,29 +65,33 @@ def main():
     dsym = np.concatenate([dst, src])
     e2 = len(ssym)
     dbg = build_dense_band(ssym, dsym, None, n, S=S, B=B, dtype=jnp.int8)
+    pk = pack_band(dbg, G=G)
 
     covered = jnp.asarray(rng.random(dbg.pad_n) < 0.1)
     row, col = live_scales(dbg, covered, "sum")
-    h0 = jnp.asarray(rng.standard_normal((dbg.pad_n, dim)).astype(np.float32))
-
-    grad_step = jax.grad(
-        lambda x, dbg, row, col: jnp.sum(
-            jnp.square(spmm_dense_band(dbg, row, col, x))
-        )
-        * 1e-6
-    )
+    h2 = pack_rows(
+        jnp.asarray(rng.standard_normal((dbg.pad_n, dim)).astype(np.float32))
+    ).astype(jnp.bfloat16)
 
     @jax.jit
-    def chain(dbg, row, col, h):
-        def body(i, x):
-            g = grad_step(x, dbg, row, col)
-            return x + g / (1.0 + jnp.float32(i))
+    def chain(pk, dbg, row, col, h2):
+        grad_step = jax.grad(
+            lambda x2: jnp.sum(
+                jnp.square(
+                    spmm_band_packed(pk, dbg, row, col, x2).astype(jnp.float32)
+                )
+            )
+            * 1e-6
+        )
 
-        return jax.lax.fori_loop(0, K, body, h)
+        def body(i, x2):
+            return x2 + grad_step(x2) / jnp.bfloat16(1.0 + i)
+
+        return jax.lax.fori_loop(0, K, body, h2)
 
     # compile + warm (result sync via host transfer; block_until_ready does
     # not fence execution on the tunnel backend)
-    float(jnp.sum(chain(dbg, row, col, h0)))
+    float(jnp.sum(chain(pk, dbg, row, col, h2).astype(jnp.float32)))
 
     nop = jax.jit(lambda x: x + 1.0)
     t0 = time.perf_counter()
@@ -93,9 +102,12 @@ def main():
     from mdcommunity_tpu.utils.profiling import ThroughputMeter
 
     meter = ThroughputMeter("edges")
-    t0 = time.perf_counter()
-    float(jnp.sum(chain(dbg, row, col, h0)))
-    meter.add(e2 * K, time.perf_counter() - t0 - rtt)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(chain(pk, dbg, row, col, h2).astype(jnp.float32)))
+        ts.append(time.perf_counter() - t0 - rtt)
+    meter.add(e2 * K, float(np.median(ts)))
 
     edges_per_s = meter.rate
     print(

@@ -247,8 +247,13 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32):
         # the caller pre-gathers per-program windows, tiny (~8 MB) XLA work.
         def h_single(prog, slot):
             # clip keeps the (traced-unconditionally) slice in bounds; it is
-            # the identity for every program this branch actually runs on
-            row0 = jnp.clip(prog * (GS // 2) - B // 2, 0, pad_half - WIN)
+            # the identity for every program this branch actually runs on.
+            # multiple_of: every window start is 64-row aligned (GS/2 and
+            # B/2=64 are multiples of 64) — Mosaic needs the hint to prove
+            # sublane-tile divisibility for sub-f32 dtypes
+            row0 = pl.multiple_of(
+                jnp.clip(prog * (GS // 2) - B // 2, 0, pad_half - WIN), 64
+            )
             return pltpu.make_async_copy(
                 h2_hbm.at[pl.ds(row0, WIN)],
                 win.at[slot],
@@ -256,18 +261,23 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32):
             )
 
         def h_pieces(prog, slot):
+            m64 = lambda x: pl.multiple_of(x, 64)  # noqa: E731
             main = pltpu.make_async_copy(
-                h2_hbm.at[pl.ds(prog * (GS // 2), GS // 2)],
+                h2_hbm.at[pl.ds(m64(prog * (GS // 2)), GS // 2)],
                 win.at[slot, pl.ds(B // 2, GS // 2)],
                 sems.at[slot, 0],
             )
             head = pltpu.make_async_copy(
-                h2_hbm.at[pl.ds((prog * (GS // 2) - B // 2) % pad_half, B // 2)],
+                h2_hbm.at[
+                    pl.ds(m64((prog * (GS // 2) - B // 2) % pad_half), B // 2)
+                ],
                 win.at[slot, pl.ds(0, B // 2)],
                 sems.at[slot, 1],
             )
             tail = pltpu.make_async_copy(
-                h2_hbm.at[pl.ds(((prog + 1) * (GS // 2)) % pad_half, B // 2)],
+                h2_hbm.at[
+                    pl.ds(m64(((prog + 1) * (GS // 2)) % pad_half), B // 2)
+                ],
                 win.at[slot, pl.ds(B // 2 + GS // 2, B // 2)],
                 sems.at[slot, 2],
             )

@@ -31,7 +31,8 @@ def bench_banded_forward(K=8):
     from mdcommunity_tpu.graphs.banded import build_banded_duplex
     from mdcommunity_tpu.models.net import banded_test_forward, init_params
 
-    n, e = 1 << 20, 1 << 22
+    lg = int(os.environ.get("MDC_BENCH_LOGN", "20"))
+    n, e = 1 << lg, 1 << (lg + 2)
     rng = np.random.default_rng(0)
     src, dst = ring_powerlaw_edges(n, e, rng)
     e0 = np.stack([src, dst], 1)
@@ -137,6 +138,17 @@ def bench_train_step(K=32):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke-testing the harness; "
+                         "env vars alone do not switch platforms here)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     out = dict(metric="model_level_throughput")
     out.update(bench_banded_forward())
     out.update(bench_train_step())
