@@ -37,6 +37,8 @@ def cmd_train(args):
         over["max_iteration"] = args.max_iteration
     if args.gmm_g is not None:
         over["gmm_g"] = None if args.gmm_g < 0 else args.gmm_g
+    if args.prioritized:
+        over["use_prioritized"] = True
     if over:
         cfg = _dc.replace(cfg, **over)
     if args.smoke or smoke_requested():
@@ -79,6 +81,7 @@ def cmd_test_real(args):
             sol, t, score = evaluate_real(
                 params, args.data, name, args.output,
                 step_ratio=args.step_ratio, variant=args.variant,
+                packed=args.packed,
             )
             print(f"{name}: audc={score:.6f} time={t:.2f}s removed={len(sol)}")
         except FileNotFoundError as e:
@@ -213,6 +216,9 @@ def main(argv=None):
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--max-iteration", type=int, default=0,
                    help="override Config.max_iteration (0 = default)")
+    t.add_argument("--prioritized", action="store_true",
+                   help="prioritized replay sampling (IsPrioritizedSampling; "
+                        "the reference ships this stubbed, ours is functional)")
     t.add_argument("--gmm-g", type=float, default=None,
                    help="GMM angular correlation; negative = U(0,1) per graph")
     t.set_defaults(fn=cmd_train)
@@ -224,6 +230,9 @@ def main(argv=None):
     r.add_argument("--datasets", nargs="*", default=None)
     r.add_argument("--step-ratio", type=float, default=0.0)
     r.add_argument("--variant", default="unit_cost")
+    r.add_argument("--packed", action="store_true",
+                   help="large-graph path: Pallas packed band engine "
+                        "(models/net_packed.py) instead of the XLA dense-band")
     r.set_defaults(fn=cmd_test_real)
 
     s = sub.add_parser("test-synthetic")

@@ -210,18 +210,35 @@ def dismantle_greedy_banded(
     variant: str = "unit_cost",
     precise: bool = False,
     max_steps: Optional[int] = None,
+    packed: bool = False,
 ) -> Tuple[List[int], float, List[float]]:
     """Greedy Q rollout on a large BandedDuplex with a HostDuplexEnv.
 
     The device side (band aggregation forward + sever edits) is jitted
     end-to-end per model call; the cascade runs on host (scipy connected
     components) exactly as the reference splits CPU env / device net.
+    packed=True routes the forward through the Pallas packed band engine
+    (models/net_packed.py; severs edit both operand layouts).
     Returns (solution in BANDED ids, score = AUDC, curve)."""
     import functools
 
     from mdcommunity_tpu.graphs.banded import apply_severs
     from mdcommunity_tpu.models.net import banded_test_forward
 
+    pks = None
+    if packed:
+        from mdcommunity_tpu.graphs.banded import (
+            apply_severs_packed,
+            pack_duplex,
+        )
+        from mdcommunity_tpu.models.net_packed import banded_test_forward_packed
+
+        pks = pack_duplex(banded)
+        qfn_pk = jax.jit(
+            banded_test_forward_packed,
+            static_argnames=("variant", "max_bp_iter", "act_dtype", "interpret"),
+        )
+        sever_fn_pk = jax.jit(apply_severs_packed, static_argnames=("layer",))
     qfn = jax.jit(
         banded_test_forward, static_argnames=("variant", "max_bp_iter", "precise")
     )
@@ -239,6 +256,7 @@ def dismantle_greedy_banded(
         return p
 
     def apply(banded, layer, ns):
+        nonlocal pks
         k = pad_pow2(len(ns))
         s = np.zeros(k, np.int32)
         d = np.zeros(k, np.int32)
@@ -246,9 +264,11 @@ def dismantle_greedy_banded(
         s[: len(ns)] = ns[:, 0]
         d[: len(ns)] = ns[:, 1]
         v[: len(ns)] = True
-        return sever_fn(
-            banded, layer, jnp.asarray(s), jnp.asarray(d), jnp.asarray(v)
-        )
+        s, d, v = jnp.asarray(s), jnp.asarray(d), jnp.asarray(v)
+        if packed:
+            banded, pks = sever_fn_pk(banded, pks, layer, s, d, v)
+            return banded
+        return sever_fn(banded, layer, s, d, v)
 
     # sync the band with any edges the env has already severed (the t=0
     # cascade usually severs some — the two layers' partitions rarely agree)
@@ -261,9 +281,14 @@ def dismantle_greedy_banded(
         covered_dev = jnp.asarray(
             np.pad(env.covered, (0, pad_n - n), constant_values=True)
         )
-        q = np.asarray(
-            qfn(params, banded, covered_dev, variant=variant, precise=precise)
-        )
+        if packed:
+            q = np.asarray(
+                qfn_pk(params, banded, pks, covered_dev, variant=variant)
+            )
+        else:
+            q = np.asarray(
+                qfn(params, banded, covered_dev, variant=variant, precise=precise)
+            )
         order = np.argsort(-q)[:step]
         for a in order:
             if env.terminal or len(sol) >= max_steps:

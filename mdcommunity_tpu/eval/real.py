@@ -31,6 +31,7 @@ def evaluate_real(
     layers: Optional[Tuple[int, int]] = None,
     n_nodes: Optional[int] = None,
     blocked_threshold: int = 4096,
+    packed: bool = False,
 ) -> Tuple[list, float, float]:
     """Dismantle one real dataset; returns (solution, solve_time, score).
 
@@ -76,7 +77,7 @@ def evaluate_real(
         )
         t0 = time.time()
         sol, score, curve = dismantle_greedy_banded(
-            params, banded, env, step=step, variant=variant
+            params, banded, env, step=step, variant=variant, packed=packed
         )
         solve_time = time.time() - t0
         sol = [int(perm[v]) for v in sol]  # back to original node ids

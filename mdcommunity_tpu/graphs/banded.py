@@ -132,6 +132,39 @@ def build_banded_duplex(
     return banded, perm, tuple(ordered)
 
 
+def pack_duplex(banded: BandedDuplex, G: int = 8):
+    """Kernel-ready packed re-layouts for both layers:
+    (pack_band(dbg0), pack_band(dbg1)) — feed models.net_packed.
+    Once packed, severs MUST go through apply_severs_packed."""
+    from mdcommunity_tpu.ops.band_pallas import pack_band
+
+    return pack_band(banded.dbg0, G=G), pack_band(banded.dbg1, G=G)
+
+
+def apply_severs_packed(
+    banded: BandedDuplex,
+    pks,
+    layer: int,
+    sev_src: jnp.ndarray,
+    sev_dst: jnp.ndarray,
+    valid: jnp.ndarray,
+):
+    """apply_severs for the packed backend: edits the layer's DenseBandGraph
+    AND its frozen packed re-layout consistently (ops.band_pallas
+    sever_edges_packed).  Returns (banded, pks)."""
+    from mdcommunity_tpu.ops.band_pallas import sever_edges_packed
+
+    src2 = jnp.concatenate([sev_src, sev_dst])
+    dst2 = jnp.concatenate([sev_dst, sev_src])
+    v2 = jnp.concatenate([valid, valid])
+    pk, dbg = sever_edges_packed(pks[layer], banded.dbg(layer), src2, dst2, v2)
+    banded = dataclasses.replace(
+        banded, **({"dbg0": dbg} if layer == 0 else {"dbg1": dbg})
+    )
+    pks = (pk, pks[1]) if layer == 0 else (pks[0], pk)
+    return banded, pks
+
+
 def apply_severs(
     banded: BandedDuplex,
     layer: int,

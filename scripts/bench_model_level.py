@@ -28,8 +28,9 @@ def bench_banded_forward(K=8):
     import jax.numpy as jnp
 
     from bench import ring_powerlaw_edges
-    from mdcommunity_tpu.graphs.banded import build_banded_duplex
+    from mdcommunity_tpu.graphs.banded import build_banded_duplex, pack_duplex
     from mdcommunity_tpu.models.net import banded_test_forward, init_params
+    from mdcommunity_tpu.models.net_packed import banded_test_forward_packed
 
     lg = int(os.environ.get("MDC_BENCH_LOGN", "20"))
     n, e = 1 << lg, 1 << (lg + 2)
@@ -40,6 +41,7 @@ def bench_banded_forward(K=8):
     e1 = np.stack([src2, dst2], 1)
     banded, _, _ = build_banded_duplex(n, e0, e1, S=512, B=128, reorder=False,
                                        max_rank=n)
+    pks = pack_duplex(banded)
     e_dir = 2 * (len(e0) + len(e1))
     params = init_params(jax.random.PRNGKey(0))
     covered0 = jnp.asarray(rng.random(banded.pad_n) < 0.1)
@@ -53,6 +55,18 @@ def bench_banded_forward(K=8):
 
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
+    @jax.jit
+    def chain_pk(banded, pks, covered):
+        def body(i, acc):
+            cov = covered.at[i].set(True)
+            q = banded_test_forward_packed(
+                params, banded, pks, cov, act_dtype=jnp.bfloat16,
+                interpret=False,
+            )
+            return acc + jnp.sum(jnp.where(jnp.isfinite(q), q, 0.0))
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
     nop = jax.jit(lambda x: x + 1.0)
     float(nop(jnp.float32(0)))
     t0 = time.perf_counter()
@@ -60,16 +74,26 @@ def bench_banded_forward(K=8):
         float(nop(jnp.float32(0)))
     rtt = (time.perf_counter() - t0) / 5
 
-    float(chain(banded, covered0))  # compile + warm
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(chain(banded, covered0))
-        ts.append((time.perf_counter() - t0 - rtt) / K)
-    t_fwd = float(np.median(ts))
+    def timed(fn, *args):
+        float(fn(*args))  # compile + warm
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            ts.append((time.perf_counter() - t0 - rtt) / K)
+        return float(np.median(ts))
+
+    t_fwd = timed(chain, banded, covered0)
+    if jax.default_backend() in ("tpu", "axon"):
+        t_pk = timed(chain_pk, banded, pks, covered0)
+    else:  # interpret-mode Pallas timing is meaningless; skip off-TPU
+        t_pk = float("nan")
     return dict(
         model_fwd_ms=round(t_fwd * 1e3, 2),
         model_fwd_edges_per_s=round(e_dir / t_fwd, 1),
+        model_fwd_packed_ms=round(t_pk * 1e3, 2),
+        model_fwd_packed_edges_per_s=round(e_dir / t_pk, 1)
+        if t_pk == t_pk else None,
         n=n, directed_edges=e_dir,
     )
 
