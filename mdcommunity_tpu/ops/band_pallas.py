@@ -211,10 +211,17 @@ def sever_edges_packed(pk: PackedBand, dbg: DenseBandGraph, src, dst, valid):
 # ---------------------------------------------------------------- kernel
 
 @functools.lru_cache(maxsize=32)
-def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32):
+def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
+                 halo=False):
     """dtype: h2/out storage dtype (f32 default; bf16 halves the h-window
     and output HBM traffic — the dots already run bf16 with f32 accumulation,
     so only the stored activations round).
+
+    halo=True is the SHARDED form (parallel/band_partition.py): nb is the
+    LOCAL block count of one shard, h2 covers only local rows, and two extra
+    HBM refs carry the B/2-packed-row halos exchanged from the ring
+    neighbors; windows are linear (the circular wrap lives in the ppermute
+    ring, not in the kernel).
 
     diag is a TIMING-DIAGNOSTIC knob (scripts/tune_band_packed.py --diag):
     "noscale" skips the in-kernel parity scale extraction + multiplies,
@@ -234,6 +241,8 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32):
     GR = GS // 128  # row-scale window rows
 
     def kernel(base_ref, h2_hbm, colw_ref, roww_ref, *rest):
+        if halo:
+            lh_hbm, rh_hbm, *rest = rest
         if Cp:
             geT_ref, sub_ref, out2_ref, win, sems = rest
         else:
@@ -323,6 +332,92 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32):
             @pl.when(jnp.logical_not(wraps))
             def _():
                 h_single(prog, slot).wait()
+
+        if halo:
+            # Sharded windows are LINEAR over [lh | h2_local | rh]: ext row e
+            # maps to lh[e] for e < B/2, h2[e - B/2] in the interior, rh at
+            # the far end; the circular wrap is the ppermute ring's job.
+            Bh = B // 2
+            GSh = GS // 2
+
+            def halo_dmas(prog, slot):
+                first = jnp.int32(prog) == 0
+                last = jnp.int32(prog) == n_prog - 1
+                d_lh = pltpu.make_async_copy(
+                    lh_hbm.at[pl.ds(0, Bh)], win.at[slot, pl.ds(0, Bh)],
+                    sems.at[slot, 1],
+                )
+                d_rh = pltpu.make_async_copy(
+                    rh_hbm.at[pl.ds(0, Bh)],
+                    win.at[slot, pl.ds(WIN - Bh, Bh)],
+                    sems.at[slot, 2],
+                )
+                d_first = pltpu.make_async_copy(
+                    h2_hbm.at[pl.ds(0, WIN - Bh)],
+                    win.at[slot, pl.ds(Bh, WIN - Bh)],
+                    sems.at[slot, 0],
+                )
+                # clip keeps the traced-unconditional slice in bounds; starts
+                # stay 64-row aligned (GSh, Bh multiples of 64)
+                row0 = pl.multiple_of(
+                    jnp.maximum(jnp.int32(prog) * GSh - Bh, 0), 64
+                )
+                d_last = pltpu.make_async_copy(
+                    h2_hbm.at[pl.ds(row0, WIN - Bh)],
+                    win.at[slot, pl.ds(0, WIN - Bh)],
+                    sems.at[slot, 0],
+                )
+                d_mid = pltpu.make_async_copy(
+                    h2_hbm.at[pl.ds(row0, WIN)],
+                    win.at[slot, pl.ds(0, WIN)],
+                    sems.at[slot, 0],
+                )
+                return first, last, d_lh, d_rh, d_first, d_last, d_mid
+
+            def _halo_go(prog, slot, act):
+                if n_prog == 1:
+                    for dma in (
+                        pltpu.make_async_copy(
+                            lh_hbm.at[pl.ds(0, Bh)],
+                            win.at[slot, pl.ds(0, Bh)],
+                            sems.at[slot, 1],
+                        ),
+                        pltpu.make_async_copy(
+                            h2_hbm.at[pl.ds(0, GSh)],
+                            win.at[slot, pl.ds(Bh, GSh)],
+                            sems.at[slot, 0],
+                        ),
+                        pltpu.make_async_copy(
+                            rh_hbm.at[pl.ds(0, Bh)],
+                            win.at[slot, pl.ds(WIN - Bh, Bh)],
+                            sems.at[slot, 2],
+                        ),
+                    ):
+                        act(dma)
+                    return
+                first, last, d_lh, d_rh, d_first, d_last, d_mid = halo_dmas(
+                    prog, slot
+                )
+
+                @pl.when(first)
+                def _():
+                    act(d_lh)
+                    act(d_first)
+
+                @pl.when(last)
+                def _():
+                    act(d_last)
+                    act(d_rh)
+
+                @pl.when(jnp.logical_not(jnp.logical_or(first, last)))
+                def _():
+                    act(d_mid)
+
+            def start(prog, slot):  # noqa: F811
+                _halo_go(prog, slot, lambda dma: dma.start())
+
+            def wait(prog, slot):  # noqa: F811
+                _halo_go(prog, slot, lambda dma: dma.wait())
 
         slot = jax.lax.rem(p, 2)
         nxt = jax.lax.rem(p + 1, 2)
@@ -417,6 +512,11 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32):
             (1, GR, 128), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
         ),
     ]
+    if halo:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),  # left halo [B/2, 2D]
+            pl.BlockSpec(memory_space=pl.ANY),  # right halo [B/2, 2D]
+        ]
     if Cp:
         in_specs += [
             pl.BlockSpec(

@@ -153,6 +153,158 @@ def spmm_band_sharded(
     )
 
 
+# ---------------------------------------------------------------------------
+# packed Pallas kernel as the local engine (halo windows, linear DMA)
+# ---------------------------------------------------------------------------
+
+def _packed_local(
+    base_pk, oh, odd, geT, cc_src, cc_dst, w_cov, row, col, h2,
+    *, S, B, Cp, G, D, n_mirror, nparts, interpret,
+):
+    """One shard's packed band contraction: ppermute h/col halos, pre-gather
+    scale windows, mirror compaction + all_gather, then ONE Pallas pass in
+    halo mode (ops.band_pallas._make_kernel(halo=True): linear windows over
+    [lh | h2 | rh])."""
+    from mdcommunity_tpu.ops.band_pallas import _make_kernel
+
+    axis = "gp"
+    local_nb = base_pk.shape[0]
+    Sh, Bh = S // 2, B // 2
+    n_prog = local_nb // G
+    fwd_perm = [(i, (i + 1) % nparts) for i in range(nparts)]
+    bwd_perm = [(i, (i - 1) % nparts) for i in range(nparts)]
+    lh = jax.lax.ppermute(h2[-Bh:], axis, fwd_perm)   # left neighbor's tail
+    rh = jax.lax.ppermute(h2[:Bh], axis, bwd_perm)    # right neighbor's head
+    lc = jax.lax.ppermute(col[-B:], axis, fwd_perm)
+    rc = jax.lax.ppermute(col[:B], axis, bwd_perm)
+
+    GR = G * S // 128
+    BR = B // 128
+    WR = GR + 2 * BR
+    colv = jnp.concatenate([lc, col, rc]).reshape(-1, 128)
+    ci = jnp.arange(n_prog)[:, None] * GR + jnp.arange(WR)[None, :]
+    colw = jnp.take(colv, ci, axis=0)                 # [n_prog, WR, 128]
+    roww = row.reshape(n_prog, GR, 128)
+
+    run = _make_kernel(
+        local_nb, S, B, Cp, D, G, "full", h2.dtype, halo=True
+    )
+    args = [base_pk, h2, colw, roww, lh, rh]
+    if Cp:
+        h2b = h2.reshape(local_nb, Sh, 2 * D)
+        mirp = jnp.einsum(
+            "bcr,brl->bcl",
+            oh.astype(jnp.bfloat16),
+            h2b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        mir = jnp.where(odd[:, :, None], mirp[:, :, D:], mirp[:, :, :D])
+        ct = jnp.einsum(
+            "bcr,brp->bcp", oh.astype(jnp.float32), col.reshape(local_nb, Sh, 2)
+        )
+        colt = jnp.where(odd, ct[:, :, 1], ct[:, :, 0])
+        mir_l = (mir * colt[:, :, None]).reshape(local_nb * Cp, D)
+        mir_all = jax.lax.all_gather(mir_l, axis, tiled=True)  # [nb*Cp, D]
+        sub = _seg(mir_all[cc_src] * w_cov[:, None], cc_dst, n_mirror)
+        p = jax.lax.axis_index(axis)
+        mine = jax.lax.dynamic_slice_in_dim(
+            sub, p * local_nb * Cp, local_nb * Cp
+        )
+        args += [geT, mine.reshape(local_nb, Cp, D)]
+    out = run(*args, interpret=interpret)             # [local_nb, Sh, 2D]
+    return out.reshape(local_nb * Sh, 2 * D)
+
+
+@lru_cache(maxsize=32)
+def _build_packed(mesh, S, B, Cp, G, D, n_mirror, dtype, interpret):
+    nparts = mesh.shape["gp"]
+    local = partial(
+        _packed_local, S=S, B=B, Cp=Cp, G=G, D=D, n_mirror=n_mirror,
+        nparts=nparts, interpret=interpret,
+    )
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("gp"),) * 4 + (P(), P(), P()) + (P("gp"),) * 3,
+        out_specs=P("gp"),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation, so
+        # the vma checker cannot see through it
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def op(base_pk, oh, odd, geT, cs, cd, wc, row, col, h2):
+        return fn(base_pk, oh, odd, geT, cs, cd, wc, row, col, h2)
+
+    def fwd(base_pk, oh, odd, geT, cs, cd, wc, row, col, h2):
+        out = op(base_pk, oh, odd, geT, cs, cd, wc, row, col, h2)
+        return out, (base_pk, oh, odd, geT, cs, cd, wc, row, col)
+
+    def bwd(res, g2):
+        base_pk, oh, odd, geT, cs, cd, wc, row, col = res
+        # (R·A·C)^T = C·A·R for the symmetric stored operator
+        dh2 = op(base_pk, oh, odd, geT, cs, cd, wc, col, row, g2)
+        return (None,) * 9 + (dh2,)
+
+    op.defvjp(fwd, bwd)
+    return jax.jit(op)
+
+
+def spmm_band_packed_sharded(
+    mesh: Mesh,
+    pk,
+    dbg: DenseBandGraph,
+    row: jnp.ndarray,
+    col: jnp.ndarray,
+    h2: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Packed-layout sharded band SpMM: out2 = pack(row ⊙ (A @ (col ⊙ h))),
+    node dimension sharded over 'gp', the Pallas packed kernel as each
+    shard's local engine (vs spmm_band_sharded's XLA einsum).
+
+    pk = ops.band_pallas.pack_band(dbg); h2 packed [pad_n/2, 2D].  Same
+    collective volume as spmm_band_sharded: two B-row ppermutes + one mirror
+    all_gather.  Requires an empty spill set and local block counts divisible
+    by pk.G."""
+    if dbg.spill.d_src.shape[0]:
+        raise ValueError("sharded packed SpMM requires an empty spill set")
+    nparts = mesh.shape["gp"]
+    nb = pk.nb
+    if nb % nparts or (nb // nparts) % pk.G:
+        raise ValueError(
+            f"n_blocks={nb} not divisible into gp={nparts} shards of "
+            f"G={pk.G}-block programs; rebuild with a smaller G"
+        )
+    D = h2.shape[1] // 2
+    n_mirror = nb * pk.Cp if dbg.ccoo.d_src.shape[0] else 0
+    op = _build_packed(
+        mesh, pk.S, pk.B, pk.Cp, pk.G, D, n_mirror, h2.dtype,
+        bool(interpret),
+    )
+    return op(
+        pk.base_pk, pk.oh, pk.odd, pk.geT,
+        pk.ccoo.d_src, pk.ccoo.d_dst, dbg.w_cov, row, col, h2,
+    )
+
+
+def shard_packed_band(mesh: Mesh, pk):
+    """Place a PackedBand: block-major leaves sharded over 'gp', mirror COO
+    replicated."""
+    import dataclasses
+
+    blk = NamedSharding(mesh, P("gp"))
+    rep = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        pk,
+        base_pk=jax.device_put(pk.base_pk, blk),
+        oh=jax.device_put(pk.oh, blk),
+        odd=jax.device_put(pk.odd, blk),
+        geT=jax.device_put(pk.geT, blk),
+        ccoo=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), pk.ccoo),
+    )
+
+
 def shard_band_graph(mesh: Mesh, dbg: DenseBandGraph) -> DenseBandGraph:
     """Place the band operator: blocks sharded over 'gp', overflow replicated."""
     import dataclasses

@@ -207,3 +207,76 @@ def test_band_sharded_spmm_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(dh_s), np.asarray(dref), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("gp,G", [(2, 2), (8, 2)])
+def test_band_packed_sharded_matches_single_device(gp, G):
+    """gp-sharded PACKED band SpMM (Pallas halo-mode kernel as the local
+    engine, interpret mode) == single-device dense_band engine, fwd + VJP.
+    gp=2/G=2 covers first/middle/last halo-DMA programs (n_prog=4 per
+    shard); gp=8/G=2 covers the n_prog=1 degenerate window."""
+    from mdcommunity_tpu.ops.band_pallas import pack_band, pack_rows, unpack_rows
+    from mdcommunity_tpu.ops.dense_band import (
+        build_dense_band,
+        live_scales,
+        spmm_dense_band,
+    )
+    from mdcommunity_tpu.parallel.band_partition import (
+        shard_band_vectors,
+        shard_packed_band,
+        spmm_band_packed_sharded,
+    )
+    from mdcommunity_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    n, e, d, S, B = 4096, 8192, 64, 128, 128
+    src = rng.integers(0, n, e).astype(np.int64)
+    off = rng.integers(-B // 2, B // 2, e)
+    off[: e // 16] = rng.integers(0, n, e // 16)
+    dst = (src + off) % n
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ssrc = np.concatenate([src, dst])
+    sdst = np.concatenate([dst, src])
+    dbg = build_dense_band(ssrc, sdst, None, n, S=S, B=B, dtype=jnp.int8)
+    assert dbg.spill.d_src.shape[0] == 0
+    assert dbg.ccoo.d_src.shape[0] > 0, "must exercise the mirror path"
+    pk = pack_band(dbg, G=G)
+    assert pk.G == G
+
+    covered = rng.random(n) < 0.1
+    row, col = live_scales(dbg, jnp.asarray(covered), "sum")
+    h = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    h2 = pack_rows(h)
+
+    ref = spmm_dense_band(dbg, row, col, h, precise=True)
+    dref = jax.grad(
+        lambda x: jnp.sum(spmm_dense_band(dbg, row, col, x, precise=True) ** 2)
+    )(h)
+
+    mesh = make_mesh(dp=8 // gp, gp=gp, devices=jax.devices()[:8])
+    pk_s = shard_packed_band(mesh, pk)
+    row_s, col_s, h2_s = shard_band_vectors(mesh, row, col, h2)
+
+    out2 = spmm_band_packed_sharded(
+        mesh, pk_s, dbg, row_s, col_s, h2_s, interpret=True
+    )
+    tol = 2e-2
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(
+        np.asarray(unpack_rows(out2)), np.asarray(ref),
+        rtol=tol, atol=tol * scale,
+    )
+
+    dh2 = jax.grad(
+        lambda x2: jnp.sum(
+            spmm_band_packed_sharded(
+                mesh, pk_s, dbg, row_s, col_s, x2, interpret=True
+            ) ** 2
+        )
+    )(h2_s)
+    gscale = float(jnp.abs(dref).max())
+    np.testing.assert_allclose(
+        np.asarray(unpack_rows(dh2)), np.asarray(dref),
+        rtol=3e-2, atol=3e-2 * gscale,
+    )
