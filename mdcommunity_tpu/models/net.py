@@ -248,13 +248,21 @@ def _banded_inputs(bdx, covered: jnp.ndarray, variant: str) -> BatchInputs:
     live = (~covered) & bdx.node_mask
     livef = live.astype(jnp.float32)
     maskf = bdx.node_mask.astype(jnp.float32)
-    ones = jnp.ones((pad_n, 1), jnp.float32)
+    ones = jnp.ones((pad_n,), jnp.float32)
 
     degs, counters, n_dir_live = [], [], []
     for l in range(2):
         dbg = bdx.dbg(l)
-        deg = spmm_dense_band(dbg, livef, livef, ones)[:, 0]
-        deg_u = spmm_dense_band(dbg, maskf, maskf, ones)[:, 0]
+        # ONE unit-scale pass computes both degree vectors: the band base
+        # dominates the pass's HBM traffic (it is re-read whole regardless of
+        # D), so folding the liveness masks into a [pad_n, 2] rhs and scaling
+        # rows afterwards halves the degree-pass base traffic vs two D=1
+        # calls with rank-1 scales.
+        both = spmm_dense_band(
+            dbg, ones, ones, jnp.stack([livef, maskf], axis=-1)
+        )
+        deg = both[:, 0] * livef
+        deg_u = both[:, 1] * maskf
         degs.append(deg)
         live_cnt = jnp.sum(deg) / 2.0
         unsevered_cnt = jnp.sum(deg_u) / 2.0
