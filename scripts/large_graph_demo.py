@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--sizes", type=int, nargs="*", default=[4092, 18222])
     ap.add_argument("--avg-deg", type=int, default=6)
     ap.add_argument("-o", "--output", default="/tmp/large_demo")
+    ap.add_argument("--packed", action="store_true",
+                    help="Pallas packed band engine for the forward")
     args = ap.parse_args()
 
     from mdcommunity_tpu.eval.real import evaluate_real
@@ -75,7 +77,7 @@ def main():
         sol, solve_time, score = evaluate_real(
             agent.params, args.output, f"synthetic_{n}_multiplex.edges",
             os.path.join(args.output, "results"),
-            n_nodes=n, layers=(1, 2),
+            n_nodes=n, layers=(1, 2), packed=args.packed,
         )
         print(json.dumps(dict(
             n=n, edges=int(len(e0) + len(e1)), solve_s=round(solve_time, 2),
