@@ -34,17 +34,24 @@ class SumTree:
         self.tree = np.zeros(2 * capacity - 1, np.float64)
 
     def update(self, data_idx: np.ndarray, priority: np.ndarray):
-        idx = np.asarray(data_idx) + self.capacity - 1
+        idx = np.asarray(data_idx, np.int64) + self.capacity - 1
         self.tree[idx] = priority
-        idx = np.unique((idx - 1) // 2)
-        while True:
-            # recompute parents bottom-up from children (batch-safe)
-            left = 2 * idx + 1
-            right = left + 1
-            self.tree[idx] = self.tree[left] + self.tree[right]
-            if (idx == 0).all():
-                break
+        idx = np.unique(idx)
+        # Bottom-up parent recompute.  For a non-power-of-two capacity the
+        # complete tree's leaves sit on TWO depths, so a batch's parent sets
+        # mix depths: chains that reach the root early must be RETIRED
+        # (idx > 0 filter), not waited on — the old `(idx == 0).all()` exit
+        # never fired for mixed batches and `(0 - 1) // 2 == -1` then walked
+        # off the array (infinite loop + tree[-1] corruption once the buffer
+        # held > 2^ceil(log2(cap))/2 - cap/2 ... transitions; regression test
+        # in tests/test_replay_prioritized.py).
+        while idx.size:
             idx = np.unique((idx - 1) // 2)
+            # every parent of a valid node is an internal node with both
+            # children present (array size 2*capacity-1 is odd)
+            left = 2 * idx + 1
+            self.tree[idx] = self.tree[left] + self.tree[left + 1]
+            idx = idx[idx > 0]
 
     def total(self) -> float:
         return float(self.tree[0])

@@ -41,3 +41,47 @@ def test_prioritized_replay_cycle():
     b0 = rep.beta
     rep.sample_prioritized(rng, 4)
     assert rep.beta >= b0
+
+
+def test_sumtree_batch_update_mixed_leaf_depths():
+    """Regression: for non-power-of-two capacities the complete tree's leaves
+    sit on two depths; a batched update whose indices straddle the boundary
+    used to infinite-loop (parent index -1 self-perpetuates) and corrupt
+    tree[-1].  The walk must terminate and leave every prefix sum exact."""
+    from mdcommunity_tpu.rl.replay_prioritized import SumTree
+
+    cap = 100  # leaves at tree idx 99..198; depth boundary at node 127
+    t = SumTree(cap)
+    rng = np.random.default_rng(0)
+    pri = rng.random(cap)
+    # mixed-depth batch: data_idx < 28 -> shallow leaves, >= 28 -> deep ones
+    idx = np.array([0, 5, 27, 28, 40, 99])
+    t.update(idx, pri[idx])
+    rest = np.setdiff1d(np.arange(cap), idx)
+    t.update(rest, pri[rest])
+    assert np.isclose(t.total(), pri.sum())
+    # internal consistency: each parent equals its children's sum
+    tree = t.tree
+    for i in range(cap - 1):
+        assert np.isclose(tree[i], tree[2 * i + 1] + tree[2 * i + 2])
+    # descend proportionality: a single-hot tree maps every value to the hot
+    # leaf, on both leaf depths (the descend ORDER is tree order, not
+    # data-index order, so cumulative-offset recovery is not a valid check)
+    for hot in (5, 60):  # shallow-depth and deep-depth leaf
+        t2 = SumTree(cap)
+        p2 = np.zeros(cap)
+        p2[hot] = 1.0
+        t2.update(np.arange(cap), p2)
+        got = t2.sample(np.array([0.1, 0.5, 0.9]))
+        np.testing.assert_array_equal(got, np.full(3, hot))
+
+
+def test_sumtree_large_capacity_mixed_batch_terminates():
+    """The production failure shape: capacity 100_000, batch spanning the
+    depth-16/17 leaf boundary (data_idx around 31_072)."""
+    from mdcommunity_tpu.rl.replay_prioritized import SumTree
+
+    t = SumTree(100_000)
+    idx = np.array([0, 31_000, 31_071, 31_072, 31_073, 99_999])
+    t.update(idx, np.ones(len(idx)))
+    assert np.isclose(t.total(), len(idx))
