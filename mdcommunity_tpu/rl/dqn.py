@@ -528,7 +528,10 @@ class DQNAgent:
 
     def fit(self) -> float:
         if self.cfg.use_prioritized:
-            pb = self.replay.sample_prioritized(self.nprng, self.cfg.batch_size)
+            pb = self.replay.sample_prioritized(
+                self.nprng, self.cfg.batch_size,
+                slots_live=self.train_pool.slots_live,
+            )
             batch, tree_idx, iw = pb.batch, pb.tree_idx, jnp.asarray(pb.is_weights)
         else:
             batch = self.replay.sample(

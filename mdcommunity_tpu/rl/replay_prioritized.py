@@ -64,7 +64,10 @@ class SumTree:
             left = 2 * idx + 1
             is_leaf = left >= len(self.tree)
             lv = np.where(is_leaf, 0.0, self.tree[np.minimum(left, len(self.tree) - 1)])
-            go_right = (~is_leaf) & (v > lv)
+            # descend right when v exceeds the left mass OR the left subtree
+            # is empty — ties/exact-zero v must never enter a zero-mass
+            # region (zeroed-out stale leaves live there)
+            go_right = (~is_leaf) & ((v > lv) | (lv <= 0.0))
             v = np.where(go_right, v - lv, v)
             idx = np.where(is_leaf, idx, np.where(go_right, left + 1, left))
         return idx - (self.capacity - 1)
@@ -91,12 +94,37 @@ class PrioritizedNStepReplay(NStepReplay):
         super()._add(*args, **kwargs)
         self.tree.update(np.asarray([idx]), np.asarray([self._max_priority]))
 
-    def sample_prioritized(self, rng: np.random.Generator, batch_size: int) -> PrioritizedBatch:
+    def sample_prioritized(
+        self, rng: np.random.Generator, batch_size: int, slots_live=None
+    ) -> PrioritizedBatch:
+        """slots_live: optional (slots, epochs) -> bool mask from
+        EpochGraphRing (same contract as NStepReplay.sample): transitions
+        whose graph slot was overwritten by a later pool epoch must not be
+        trained on — they would silently re-bind to the NEW graph in that
+        slot.  The first stale pick triggers ONE batched zeroing of the
+        entire stale set (lazy: costs O(count·log) only on draws that
+        actually hit staleness, i.e. just after a pool regen) and a
+        redraw."""
         assert self.count >= batch_size
-        total = self.tree.total()
-        seg = total / batch_size
-        values = (np.arange(batch_size) + rng.random(batch_size)) * seg
-        data_idx = np.clip(self.tree.sample(values), 0, self.count - 1)
+        for _ in range(3):
+            total = self.tree.total()
+            seg = total / batch_size
+            values = (np.arange(batch_size) + rng.random(batch_size)) * seg
+            data_idx = np.clip(self.tree.sample(values), 0, self.count - 1)
+            if slots_live is None:
+                break
+            live = slots_live(
+                self.graph_ids[data_idx], self.graph_epochs[data_idx]
+            )
+            if live.all():
+                break
+            all_live = slots_live(
+                self.graph_ids[: self.count], self.graph_epochs[: self.count]
+            )
+            dead = np.nonzero(~all_live)[0]
+            if dead.size == self.count:  # nothing live: keep the draw
+                break
+            self.tree.update(dead, np.zeros(len(dead)))
         self.beta = min(1.0, self.beta + self.beta_increment)
         leaf = self.tree.tree[data_idx + self.capacity - 1]
         prob = np.maximum(leaf / max(total, 1e-12), 1e-12)

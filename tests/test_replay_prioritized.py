@@ -85,3 +85,31 @@ def test_sumtree_large_capacity_mixed_batch_terminates():
     idx = np.array([0, 31_000, 31_071, 31_072, 31_073, 99_999])
     t.update(idx, np.ones(len(idx)))
     assert np.isclose(t.total(), len(idx))
+
+
+def test_prioritized_sampling_respects_slots_live():
+    """Stale transitions (graph slot overwritten by a later pool epoch) are
+    excluded from prioritized batches and their tree mass drains to zero —
+    the uniform path's slots_live contract (rl/replay.py sample)."""
+    from mdcommunity_tpu.rl.replay_prioritized import PrioritizedNStepReplay
+
+    r = PrioritizedNStepReplay(1024, 64, 1024, 5)
+    cov = np.zeros(64, bool)
+    sev = np.zeros((2, 1024), bool)
+    # 40 episodes on graph slot 0 epoch 0 (stale) + 40 on slot 1 epoch 1
+    for gid, epoch in ((0, 0), (1, 1)):
+        for _ in range(40):
+            T = 4
+            r.add_episode(gid, [cov] * (T + 1), [sev] * (T + 1),
+                          list(range(T)), [0.1] * T, graph_epoch=epoch)
+
+    def slots_live(slots, epochs):
+        return epochs >= 1  # epoch-0 slots were overwritten
+
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        pb = r.sample_prioritized(rng, 32, slots_live=slots_live)
+        assert (r.graph_epochs[pb.tree_idx] >= 1).all()
+    # the first stale hit zeroes the ENTIRE stale set in one batched update
+    stale = np.nonzero(r.graph_epochs[: r.count] == 0)[0]
+    assert (r.tree.tree[stale + r.tree.capacity - 1] == 0).all()
