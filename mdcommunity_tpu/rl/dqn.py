@@ -391,6 +391,7 @@ class DQNAgent:
         self._env_gids: Optional[np.ndarray] = None
         self._env_graphs: Optional[DuplexGraph] = None
         self._traj: List[dict] = []
+        self._pending_prio = None  # deferred (tree_idx, td-device) pair
 
     # -- data ----------------------------------------------------------------
     @property
@@ -582,7 +583,13 @@ class DQNAgent:
             optimizer=self.optimizer,
         )
         if tree_idx is not None:
-            self.replay.update_priorities(tree_idx, np.asarray(td))
+            # one-step-DEFERRED priority update: fetching this step's td here
+            # would fence the dispatch pipeline every iteration; the previous
+            # step's td has already finished computing, so its fetch is free
+            if self._pending_prio is not None:
+                p_idx, p_td = self._pending_prio
+                self.replay.update_priorities(p_idx, np.asarray(p_td))
+            self._pending_prio = (tree_idx, td)
         # device scalar, NOT synced: a float() here would block the dispatch
         # pipeline every iteration (and through the TPU relay costs a ~30 ms
         # round trip); fetch it only where a log line needs the value
