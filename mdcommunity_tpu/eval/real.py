@@ -48,13 +48,21 @@ def evaluate_real(
         raise ValueError(f"unknown dataset {dataset}: pass n_nodes and layers")
 
     path = os.path.join(data_path, fname)
-    g = load_real_duplex(path, n_nodes, layers, degree_cost=(variant == "degree_cost"))
+    # CE attaches the static community prior at real-data load time (reference
+    # _attach_static_comm_prior, CEMultiDismantler/MultiDismantler_torch.py:743
+    # — test-time action pruning stays OFF, ACTION_PRUNING_TEST=False :49)
+    prior_feature = "boundary" if variant == "ce" else None
+    prior_cache_dir = os.path.join(save_dir, "real_cache") if prior_feature else None
+    g = load_real_duplex(
+        path, n_nodes, layers, degree_cost=(variant == "degree_cost"),
+        prior_feature=prior_feature, prior_cache_dir=prior_cache_dir,
+    )
     g_orig = g  # original-id graph (the blocked path relabels nodes)
 
     perm = None
     step = max(int(step_ratio * n_nodes), 1) if step_ratio > 0 else 1
 
-    if n_nodes > blocked_threshold and variant in ("unit_cost", "degree_cost"):
+    if n_nodes > blocked_threshold and variant in ("unit_cost", "degree_cost", "ce"):
         # large nets: RCM-reorder + dense-band aggregation (graphs/banded.py)
         # with the cascade on host (env/host_env.py) — the reference's CPU-env
         # / device-net split, with the device side jitted end-to-end
@@ -67,8 +75,11 @@ def evaluate_real(
         e0 = raw.get(layers[0], np.zeros((0, 2), np.int32))
         e1 = raw.get(layers[1], np.zeros((0, 2), np.int32))
         weights = np.asarray(g.weights) if variant == "degree_cost" else None
+        node_feat = (
+            np.asarray(g.node_feat)[:, :n_nodes] if variant == "ce" else None
+        )
         banded, perm, (oe0, oe1) = build_banded_duplex(
-            n_nodes, e0, e1, weights=weights
+            n_nodes, e0, e1, weights=weights, node_feat=node_feat
         )
         env = make_host_env(
             n_nodes, oe0, oe1,

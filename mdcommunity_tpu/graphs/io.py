@@ -9,6 +9,7 @@ File formats follow the reference:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -48,9 +49,17 @@ def duplex_from_layers(
     pad_nodes: Optional[int] = None,
     pad_edges: Optional[int] = None,
     degree_cost: bool = False,
+    prior_feature: Optional[str] = None,
+    prior_cache: Optional[Tuple[str, str]] = None,
 ) -> DuplexGraph:
     """Two undirected edge arrays -> padded DuplexGraph (reference: Graph_test,
-    graph.py:69-84)."""
+    graph.py:69-84).
+
+    prior_feature ('boundary'|'participation'): attach the CE community prior
+    (Louvain per layer) as node_feat + boundary mask — the reference attaches
+    this at real-data load time too (_attach_static_comm_prior,
+    CEMultiDismantler/MultiDismantler_torch.py:743).  prior_cache =
+    (cache_dir, cache_id) enables the npz cache (dataset.cache_path_for_real)."""
     def up(x, m):
         return ((max(int(x), 1) + m - 1) // m) * m
 
@@ -62,7 +71,26 @@ def duplex_from_layers(
         from mdcommunity_tpu.graphs.gmm import _degree_weights
 
         weights = _degree_weights(n_nodes, edges_a, edges_b)
-    return build_duplex(n_nodes, edges_a, edges_b, pad_nodes, pad_edges, weights=weights)
+    node_feat = boundary = None
+    if prior_feature and prior_feature != "none":
+        from mdcommunity_tpu.graphs.community import (
+            cached_duplex_prior,
+            duplex_prior,
+        )
+
+        if prior_cache:
+            node_feat, boundary = cached_duplex_prior(
+                prior_cache[0], prior_cache[1], n_nodes, edges_a, edges_b,
+                prior_feature,
+            )
+        else:
+            node_feat, boundary = duplex_prior(
+                n_nodes, edges_a, edges_b, prior_feature
+            )
+    return build_duplex(
+        n_nodes, edges_a, edges_b, pad_nodes, pad_edges, weights=weights,
+        node_feat=node_feat, boundary=boundary,
+    )
 
 
 def load_real_duplex(
@@ -70,13 +98,22 @@ def load_real_duplex(
     n_nodes: int,
     layer_pair: Tuple[int, int],
     degree_cost: bool = False,
+    prior_feature: Optional[str] = None,
+    prior_cache_dir: Optional[str] = None,
 ) -> DuplexGraph:
     """Load a real multiplex network and select the two coupled layers."""
     layers = read_multiplex_edges(path, n_nodes)
     a, b = layer_pair
     ea = layers.get(a, np.zeros((0, 2), np.int32))
     eb = layers.get(b, np.zeros((0, 2), np.int32))
-    return duplex_from_layers(n_nodes, ea, eb, degree_cost=degree_cost)
+    cache = None
+    if prior_cache_dir and prior_feature and prior_feature != "none":
+        base = os.path.basename(path).split(".")[0]
+        cache = (prior_cache_dir, f"{base}_layers{a}{b}")
+    return duplex_from_layers(
+        n_nodes, ea, eb, degree_cost=degree_cost,
+        prior_feature=prior_feature, prior_cache=cache,
+    )
 
 
 def edges_from_dense_adj(adj: np.ndarray) -> np.ndarray:

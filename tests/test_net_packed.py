@@ -132,3 +132,39 @@ def test_packed_rollout_smoke(rng):
         score_pk,
         score_ref,
     )
+
+
+def test_packed_forward_ce_prior_channel(rng):
+    """CE variant through the banded/packed path: the 3rd input channel
+    (community prior, graphs/community.py) flows through both engines
+    identically (round-2: CE is now allowed through the blocked real-data
+    path, eval/real.py)."""
+    n = 700
+    banded, _ = _small_banded(rng, n=n)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    nf = np.zeros((2, banded.pad_n), np.float32)
+    nf[:, :n] = rng.random((2, n)).astype(np.float32)
+    banded = dataclasses.replace(banded, node_feat=jnp.asarray(nf))
+    pks = pack_duplex(banded)
+    params = init_params(jax.random.PRNGKey(4), node_feat_dim=3)
+    covered = jnp.asarray(
+        (rng.random(banded.pad_n) < 0.1) | ~np.asarray(banded.node_mask)
+    )
+    q_ref = banded_test_forward(
+        params, banded, covered, variant="ce", precise=True
+    )
+    q_pk = banded_test_forward_packed(
+        params, banded, pks, covered, variant="ce", interpret=True
+    )
+    _q_close(q_pk, q_ref)
+    # the prior channel actually matters: zeroing it changes Q
+    banded0 = dataclasses.replace(
+        banded, node_feat=jnp.zeros_like(banded.node_feat)
+    )
+    q0 = banded_test_forward(params, banded0, covered, variant="ce",
+                             precise=True)
+    act = np.isfinite(np.asarray(q_ref))
+    assert not np.allclose(np.asarray(q_ref)[act], np.asarray(q0)[act])
