@@ -53,9 +53,11 @@ def main():
     from mdcommunity_tpu.parallel.mesh import make_mesh
     from mdcommunity_tpu.parallel.partition import shard_edges, spmm_edge_partitioned
 
+    from mdcommunity_tpu.ops.band_pallas import pack_band, pack_rows
     from mdcommunity_tpu.ops.dense_band import build_dense_band, live_scales
     from mdcommunity_tpu.parallel.band_partition import (
-        shard_band_graph, shard_band_vectors, spmm_band_sharded,
+        shard_band_graph, shard_band_vectors, shard_packed_band,
+        spmm_band_packed_sharded, spmm_band_sharded,
     )
 
     rng = np.random.default_rng(0)
@@ -83,7 +85,12 @@ def main():
     n_dev = len(jax.devices())
     out = dict(metric="edge_partitioned_spmm_scaling", devices=n_dev,
                platform=jax.default_backend(), edges=e_real, nodes=n)
-    for engine in ("band", "coo"):
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    # the packed engine rides the Pallas kernel: real timing needs real TPU
+    # silicon (interpret mode would measure the interpreter, not the design)
+    engines = ("band", "packed", "coo") if on_tpu else ("band", "coo")
+    pk = pack_band(dbg) if on_tpu else None
+    for engine in engines:
         results = []
         base = None
         gp = 1
@@ -103,6 +110,21 @@ def main():
 
                     f = jax.jit(jax.value_and_grad(loss))
                     args_t = (h_s,)
+                elif engine == "packed":
+                    pk_s = shard_packed_band(mesh, pk)
+                    row, col = live_scales(dbg, jnp.asarray(covered), "sum")
+                    row_s, col_s, h2_s = shard_band_vectors(
+                        mesh, row, col, pack_rows(jnp.asarray(h0))
+                    )
+
+                    def loss(hh2):
+                        y = spmm_band_packed_sharded(
+                            mesh, pk_s, dbg, row_s, col_s, hh2
+                        )
+                        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+                    f = jax.jit(jax.value_and_grad(loss))
+                    args_t = (h2_s,)
                 else:
                     s_, dd_, ww_ = shard_edges(mesh, src, dst, w)
 
