@@ -81,7 +81,8 @@ def cmd_test_real(args):
             sol, t, score = evaluate_real(
                 params, args.data, name, args.output,
                 step_ratio=args.step_ratio, variant=args.variant,
-                packed=args.packed,
+                packed=args.packed, n_nodes=args.n_nodes,
+                layers=tuple(args.layers) if args.layers else None,
             )
             print(f"{name}: audc={score:.6f} time={t:.2f}s removed={len(sol)}")
         except FileNotFoundError as e:
@@ -233,6 +234,10 @@ def main(argv=None):
     r.add_argument("--packed", action="store_true",
                    help="large-graph path: Pallas packed band engine "
                         "(models/net_packed.py) instead of the XLA dense-band")
+    r.add_argument("--n-nodes", type=int, default=None,
+                   help="node count for datasets not in the built-in table")
+    r.add_argument("--layers", type=int, nargs=2, default=None,
+                   help="coupled layer pair for datasets not in the table")
     r.set_defaults(fn=cmd_test_real)
 
     s = sub.add_parser("test-synthetic")
