@@ -227,6 +227,12 @@ def dismantle_greedy_banded(
 
     pks = None
     if packed:
+        if precise:
+            raise ValueError(
+                "precise=True is the f32 XLA engine's knob; the packed "
+                "Pallas engine always runs bf16 dots — use packed=False "
+                "for an f32 reference"
+            )
         from mdcommunity_tpu.graphs.banded import (
             apply_severs_packed,
             pack_duplex,
@@ -239,10 +245,12 @@ def dismantle_greedy_banded(
             static_argnames=("variant", "max_bp_iter", "act_dtype", "interpret"),
         )
         sever_fn_pk = jax.jit(apply_severs_packed, static_argnames=("layer",))
-    qfn = jax.jit(
-        banded_test_forward, static_argnames=("variant", "max_bp_iter", "precise")
-    )
-    sever_fn = jax.jit(apply_severs, static_argnames=("layer",))
+    else:
+        qfn = jax.jit(
+            banded_test_forward,
+            static_argnames=("variant", "max_bp_iter", "precise"),
+        )
+        sever_fn = jax.jit(apply_severs, static_argnames=("layer",))
 
     pad_n = banded.pad_n
     n = env.n

@@ -94,6 +94,15 @@ def evaluate_real(
         sol = [int(perm[v]) for v in sol]  # back to original node ids
         g = g_orig
     else:
+        if packed:
+            import sys
+
+            print(
+                f"[evaluate_real] --packed ignored: {dataset} "
+                f"(n={n_nodes}) takes the small-graph path "
+                f"(blocked_threshold={blocked_threshold}, variant={variant})",
+                file=sys.stderr,
+            )
         t0 = time.time()
         sol, score, curve = dismantle_greedy(params, g, step=step, variant=variant)
         solve_time = time.time() - t0

@@ -109,7 +109,9 @@ def load_real_duplex(
     cache = None
     if prior_cache_dir and prior_feature and prior_feature != "none":
         base = os.path.basename(path).split(".")[0]
-        cache = (prior_cache_dir, f"{base}_layers{a}{b}")
+        # '-' separator: f"{a}{b}" is ambiguous for multi-digit layer ids
+        # ((1,11) vs (11,1) both concatenate to "111")
+        cache = (prior_cache_dir, f"{base}_layers{a}-{b}")
     return duplex_from_layers(
         n_nodes, ea, eb, degree_cost=degree_cost,
         prior_feature=prior_feature, prior_cache=cache,

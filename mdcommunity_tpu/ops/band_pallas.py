@@ -558,6 +558,27 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
     return run
 
 
+def mirror_compact(oh, odd, col_pairs, h2b, D):
+    """Mirror compaction in packed layout: col-scaled per-slot rows
+    mir[b, c] = col[node(b,c)] * h[node(b,c)].
+
+    oh [nb, Cp, Sh] packed-row one-hots, odd [nb, Cp] lane parity,
+    col_pairs [nb, Sh, 2] the col scale reshaped to packed pairs,
+    h2b [nb, Sh, 2D].  Shared by the single-device prologue (_apply) and the
+    sharded local fn (parallel/band_partition._packed_local) so the packed
+    mirror layout has exactly one implementation."""
+    mirp = jnp.einsum(
+        "bcr,brl->bcl",
+        oh.astype(jnp.bfloat16),
+        h2b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    mir = jnp.where(odd[:, :, None], mirp[:, :, D:], mirp[:, :, :D])
+    ct = jnp.einsum("bcr,brp->bcp", oh.astype(jnp.float32), col_pairs)
+    colt = jnp.where(odd, ct[:, :, 1], ct[:, :, 0])
+    return mir * colt[:, :, None]
+
+
 def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
            diag="full"):
     """row ⊙ (A @ (col ⊙ h)) in packed layout — one kernel pass."""
@@ -579,24 +600,12 @@ def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
     roww = row.reshape(n_prog, GR, 128)          # no halo on the dst side
     args = [pk.base_pk, h2, colw, roww]
     if pk.Cp:
-        # prologue: mirror compaction mir = G @ (col ⊙ h) (packed-lane
-        # einsum + lane-half select + per-slot col extraction), then the
-        # tiny mirror-space COO SpMM
-        h2b = h2.reshape(nb, Sh, 2 * D)
-        mirp = jnp.einsum(
-            "bcr,brl->bcl",
-            pk.oh.astype(jnp.bfloat16),
-            h2b.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
+        # prologue: mirror compaction mir = G @ (col ⊙ h), then the tiny
+        # mirror-space COO SpMM
+        mir = mirror_compact(
+            pk.oh, pk.odd, col.reshape(nb, Sh, 2), h2.reshape(nb, Sh, 2 * D), D
         )
-        mir = jnp.where(pk.odd[:, :, None], mirp[:, :, D:], mirp[:, :, :D])
-        ct = jnp.einsum(
-            "bcr,brp->bcp", pk.oh.astype(jnp.float32), col.reshape(nb, Sh, 2)
-        )
-        colt = jnp.where(pk.odd, ct[:, :, 1], ct[:, :, 0])
-        sub = spmm_sorted(
-            pk.ccoo, dbg.w_cov, (mir * colt[:, :, None]).reshape(nb * pk.Cp, D)
-        )
+        sub = spmm_sorted(pk.ccoo, dbg.w_cov, mir.reshape(nb * pk.Cp, D))
         args += [pk.geT, sub.reshape(nb, pk.Cp, D)]
     out2 = run(*args, interpret=interpret).reshape(pk.pad_n // 2, 2 * D)
     if dbg.spill.d_src.shape[0]:

@@ -191,19 +191,12 @@ def _packed_local(
     )
     args = [base_pk, h2, colw, roww, lh, rh]
     if Cp:
-        h2b = h2.reshape(local_nb, Sh, 2 * D)
-        mirp = jnp.einsum(
-            "bcr,brl->bcl",
-            oh.astype(jnp.bfloat16),
-            h2b.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        mir = jnp.where(odd[:, :, None], mirp[:, :, D:], mirp[:, :, :D])
-        ct = jnp.einsum(
-            "bcr,brp->bcp", oh.astype(jnp.float32), col.reshape(local_nb, Sh, 2)
-        )
-        colt = jnp.where(odd, ct[:, :, 1], ct[:, :, 0])
-        mir_l = (mir * colt[:, :, None]).reshape(local_nb * Cp, D)
+        from mdcommunity_tpu.ops.band_pallas import mirror_compact
+
+        mir_l = mirror_compact(
+            oh, odd, col.reshape(local_nb, Sh, 2),
+            h2.reshape(local_nb, Sh, 2 * D), D,
+        ).reshape(local_nb * Cp, D)
         mir_all = jax.lax.all_gather(mir_l, axis, tiled=True)  # [nb*Cp, D]
         sub = _seg(mir_all[cc_src] * w_cov[:, None], cc_dst, n_mirror)
         p = jax.lax.axis_index(axis)
@@ -275,6 +268,13 @@ def spmm_band_packed_sharded(
         raise ValueError(
             f"n_blocks={nb} not divisible into gp={nparts} shards of "
             f"G={pk.G}-block programs; rebuild with a smaller G"
+        )
+    if pk.B > pk.G * pk.S:
+        # the halo-mode first/last-program window DMAs assume the B/2-packed-
+        # row halo fits beside at least one full program window in the local
+        # shard; violating this would read out of bounds silently on TPU
+        raise ValueError(
+            f"halo window needs B <= G*S (got B={pk.B}, G*S={pk.G * pk.S})"
         )
     D = h2.shape[1] // 2
     n_mirror = nb * pk.Cp if dbg.ccoo.d_src.shape[0] else 0

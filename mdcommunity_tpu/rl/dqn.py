@@ -534,6 +534,7 @@ class DQNAgent:
                 slots_live=self.train_pool.slots_live,
             )
             batch, tree_idx, iw = pb.batch, pb.tree_idx, jnp.asarray(pb.is_weights)
+            tree_gen = self.replay.write_gen[tree_idx].copy()
         else:
             batch = self.replay.sample(
                 self.nprng, self.cfg.batch_size,
@@ -585,11 +586,15 @@ class DQNAgent:
         if tree_idx is not None:
             # one-step-DEFERRED priority update: fetching this step's td here
             # would fence the dispatch pipeline every iteration; the previous
-            # step's td has already finished computing, so its fetch is free
+            # step's td has already finished computing, so its fetch is free.
+            # The write-generation snapshot lets the replay skip any slot the
+            # ring overwrote between the two fits.
             if self._pending_prio is not None:
-                p_idx, p_td = self._pending_prio
-                self.replay.update_priorities(p_idx, np.asarray(p_td))
-            self._pending_prio = (tree_idx, td)
+                p_idx, p_td, p_gen = self._pending_prio
+                self.replay.update_priorities(
+                    p_idx, np.asarray(p_td), write_gen=p_gen
+                )
+            self._pending_prio = (tree_idx, td, tree_gen)
         # device scalar, NOT synced: a float() here would block the dispatch
         # pipeline every iteration (and through the TPU relay costs a ~30 ms
         # round trip); fetch it only where a log line needs the value

@@ -88,10 +88,17 @@ class PrioritizedNStepReplay(NStepReplay):
         self.beta_increment = beta_increment
         self.td_upper = td_upper
         self._max_priority = 1.0
+        # per-slot write generation: lets DEFERRED priority updates (the
+        # trainer applies step t's TD priorities during step t+1 to keep
+        # dispatch pipelined) detect slots the ring overwrote in between
+        self.write_gen = np.zeros(capacity, np.int64)
+        self._gen = 0
 
     def _add(self, *args, **kwargs):
         idx = self.current
         super()._add(*args, **kwargs)
+        self._gen += 1
+        self.write_gen[idx] = self._gen
         self.tree.update(np.asarray([idx]), np.asarray([self._max_priority]))
 
     def sample_prioritized(
@@ -135,8 +142,21 @@ class PrioritizedNStepReplay(NStepReplay):
             batch=self._gather(idx), tree_idx=idx, is_weights=weights
         )
 
-    def update_priorities(self, data_idx: np.ndarray, td_errors: np.ndarray):
+    def update_priorities(
+        self, data_idx: np.ndarray, td_errors: np.ndarray, write_gen=None
+    ):
+        """write_gen: per-index generation snapshot taken at SAMPLE time
+        (self.write_gen[data_idx]); indices the ring has since overwritten
+        are skipped so a deferred update cannot clobber a fresh transition's
+        max-priority with an unrelated old TD error."""
+        data_idx = np.asarray(data_idx)
+        td_errors = np.asarray(td_errors)
+        if write_gen is not None:
+            keep = self.write_gen[data_idx] == np.asarray(write_gen)
+            data_idx, td_errors = data_idx[keep], td_errors[keep]
+            if not len(data_idx):
+                return
         p = np.minimum(np.abs(td_errors) + self.epsilon, self.td_upper)
         p = np.power(p, self.alpha)
         self._max_priority = max(self._max_priority, float(p.max(initial=0.0)))
-        self.tree.update(np.asarray(data_idx), p)
+        self.tree.update(data_idx, p)

@@ -88,12 +88,12 @@ def bench_banded_forward(K=8):
         t_pk = timed(chain_pk, banded, pks, covered0)
     else:  # interpret-mode Pallas timing is meaningless; skip off-TPU
         t_pk = float("nan")
+    on_tpu = t_pk == t_pk  # NaN-off-TPU guard: keep the JSON line strict
     return dict(
         model_fwd_ms=round(t_fwd * 1e3, 2),
         model_fwd_edges_per_s=round(e_dir / t_fwd, 1),
-        model_fwd_packed_ms=round(t_pk * 1e3, 2),
-        model_fwd_packed_edges_per_s=round(e_dir / t_pk, 1)
-        if t_pk == t_pk else None,
+        model_fwd_packed_ms=round(t_pk * 1e3, 2) if on_tpu else None,
+        model_fwd_packed_edges_per_s=round(e_dir / t_pk, 1) if on_tpu else None,
         n=n, directed_edges=e_dir,
     )
 
