@@ -67,3 +67,44 @@ def test_ce_qvalues_match_reference(rng):
         assert live.any()
         np.testing.assert_allclose(q_ours[live], q_ref[live], rtol=2e-3, atol=2e-4)
         assert np.all(np.isneginf(q_ours[~live]))
+
+
+def test_prior_formula_matches_reference_dataset():
+    """participation_and_boundary: exact formula parity with the reference's
+    CEMultiDismantler/dataset.py given the SAME partition (the louvain
+    implementations differ — python-louvain there, networkx here — so the
+    partition itself is an algorithmic heuristic, but the features computed
+    from a partition must match exactly)."""
+    import importlib.util
+    import sys
+    import types
+
+    import networkx as nx
+    import numpy as np
+
+    from mdcommunity_tpu.graphs.community import participation_and_boundary
+
+    # load the reference dataset.py with a stub python-louvain (not installed
+    # in this image; only the formula under test is exercised)
+    if "community" not in sys.modules:
+        stub = types.ModuleType("community")
+        stub.best_partition = lambda *a, **k: {}
+        sys.modules["community"] = stub
+    spec = importlib.util.spec_from_file_location(
+        "ref_ce_dataset",
+        "/root/reference/code/CEMultiDismantler/dataset.py",
+    )
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["ref_ce_dataset"] = ref  # dataclass field resolution needs it
+    spec.loader.exec_module(ref)
+
+    rng = np.random.default_rng(0)
+    n = 60
+    G = nx.gnm_random_graph(n, 150, seed=1)
+    # an arbitrary 4-community partition, including a node with no entry
+    part = {u: int(rng.integers(0, 4)) for u in range(n - 1)}
+
+    P_ref, b_ref = ref.participation_and_boundary(G, part, n)
+    P_ours, b_ours = participation_and_boundary(G, part, n)
+    np.testing.assert_allclose(P_ours, P_ref, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(b_ours, b_ref)
