@@ -44,6 +44,31 @@ def ring_powerlaw_edges(n, e, rng, alpha=2.5, scale=8.0):
 
 
 def main():
+    # Watchdog: the axon tunnel can wedge such that the first device op
+    # blocks forever (claim wait has no timeout).  A normal full run takes
+    # ~2-3 min including compile; if we are still stuck at 12 min, emit the
+    # one required JSON line with an error marker instead of hanging the
+    # driver.
+    import signal
+
+    def _bail(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "spmm_fwdbwd_edges_per_s_per_chip",
+                    "value": 0.0,
+                    "unit": "edges/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu unreachable (watchdog fired)",
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(720)
+
     import jax
     import jax.numpy as jnp
 
@@ -109,6 +134,7 @@ def main():
         ts.append(time.perf_counter() - t0 - rtt)
     meter.add(e2 * K, float(np.median(ts)))
 
+    signal.alarm(0)
     edges_per_s = meter.rate
     print(
         json.dumps(
