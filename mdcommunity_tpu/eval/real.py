@@ -56,6 +56,7 @@ def evaluate_real(
     g = load_real_duplex(
         path, n_nodes, layers, degree_cost=(variant == "degree_cost"),
         prior_feature=prior_feature, prior_cache_dir=prior_cache_dir,
+        hca=(variant == "hca"),
     )
     g_orig = g  # original-id graph (the blocked path relabels nodes)
 

@@ -51,9 +51,14 @@ def duplex_from_layers(
     degree_cost: bool = False,
     prior_feature: Optional[str] = None,
     prior_cache: Optional[Tuple[str, str]] = None,
+    hca: bool = False,
 ) -> DuplexGraph:
     """Two undirected edge arrays -> padded DuplexGraph (reference: Graph_test,
     graph.py:69-84).
+
+    hca=True computes the hierarchical community structure + micro/meso/macro
+    features at load (graphs/hca.py; the reference computes these per graph
+    in mvc_env.calculate_hca_features :39-136).
 
     prior_feature ('boundary'|'participation'): attach the CE community prior
     (Louvain per layer) as node_feat + boundary mask — the reference attaches
@@ -71,6 +76,14 @@ def duplex_from_layers(
         from mdcommunity_tpu.graphs.gmm import _degree_weights
 
         weights = _degree_weights(n_nodes, edges_a, edges_b)
+    comm_kwargs = {}
+    if hca:
+        from mdcommunity_tpu.graphs.hca import hca_communities_and_features
+
+        comm_id, n_comms, hca_feat = hca_communities_and_features(
+            n_nodes, edges_a, edges_b
+        )
+        comm_kwargs = dict(comm_id=comm_id, n_comms=n_comms, hca_feat=hca_feat)
     node_feat = boundary = None
     if prior_feature and prior_feature != "none":
         from mdcommunity_tpu.graphs.community import (
@@ -89,7 +102,7 @@ def duplex_from_layers(
             )
     return build_duplex(
         n_nodes, edges_a, edges_b, pad_nodes, pad_edges, weights=weights,
-        node_feat=node_feat, boundary=boundary,
+        node_feat=node_feat, boundary=boundary, **comm_kwargs,
     )
 
 
@@ -100,6 +113,7 @@ def load_real_duplex(
     degree_cost: bool = False,
     prior_feature: Optional[str] = None,
     prior_cache_dir: Optional[str] = None,
+    hca: bool = False,
 ) -> DuplexGraph:
     """Load a real multiplex network and select the two coupled layers."""
     layers = read_multiplex_edges(path, n_nodes)
@@ -114,7 +128,7 @@ def load_real_duplex(
         cache = (prior_cache_dir, f"{base}_layers{a}-{b}")
     return duplex_from_layers(
         n_nodes, ea, eb, degree_cost=degree_cost,
-        prior_feature=prior_feature, prior_cache=cache,
+        prior_feature=prior_feature, prior_cache=cache, hca=hca,
     )
 
 
