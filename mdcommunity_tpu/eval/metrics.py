@@ -80,7 +80,11 @@ def dismantle_greedy(
         else:
             q = predict_q(params, gb, state.covered, state.sever, variant, dense=dense)
         q_np = np.asarray(q[0])
-        order = np.argsort(-q_np)[:step]
+        # stable: lowest index first among ties — matches the banded path's
+        # device-side lax.top_k selection, so the two engines pick identical
+        # solutions (the reference's unstable np.argsort leaves tie order
+        # unspecified)
+        order = np.argsort(-q_np, kind="stable")[:step]
         for a in order:
             if bool(state.terminal[0]) or float(state.rank[0]) <= stop_rank:
                 break
@@ -240,16 +244,32 @@ def dismantle_greedy_banded(
         from mdcommunity_tpu.models.net_packed import banded_test_forward_packed
 
         pks = pack_duplex(banded)
-        qfn_pk = jax.jit(
-            banded_test_forward_packed,
-            static_argnames=("variant", "max_bp_iter", "act_dtype", "interpret"),
+
+        # device-side top-k: fetch only `step` (value, index) pairs instead
+        # of the full [pad_n] Q vector (4 MB at 2^20 nodes, ~30 ms tunnel
+        # RTT) + a host argsort per removal
+        @functools.partial(
+            jax.jit, static_argnames=("variant", "k", "interpret")
         )
+        def qfn_pk(params, banded, pks, covered, variant, k, interpret=None):
+            q = banded_test_forward_packed(
+                params, banded, pks, covered, variant=variant,
+                interpret=interpret,
+            )
+            return jax.lax.top_k(q, k)
+
         sever_fn_pk = jax.jit(apply_severs_packed, static_argnames=("layer",))
     else:
-        qfn = jax.jit(
-            banded_test_forward,
-            static_argnames=("variant", "max_bp_iter", "precise"),
+
+        @functools.partial(
+            jax.jit, static_argnames=("variant", "k", "precise")
         )
+        def qfn(params, banded, covered, variant, k, precise=False):
+            q = banded_test_forward(
+                params, banded, covered, variant=variant, precise=precise
+            )
+            return jax.lax.top_k(q, k)
+
         sever_fn = jax.jit(apply_severs, static_argnames=("layer",))
 
     pad_n = banded.pad_n
@@ -290,18 +310,19 @@ def dismantle_greedy_banded(
             np.pad(env.covered, (0, pad_n - n), constant_values=True)
         )
         if packed:
-            q = np.asarray(
-                qfn_pk(params, banded, pks, covered_dev, variant=variant)
+            vals, order = qfn_pk(
+                params, banded, pks, covered_dev, variant=variant, k=step
             )
         else:
-            q = np.asarray(
-                qfn(params, banded, covered_dev, variant=variant, precise=precise)
+            vals, order = qfn(
+                params, banded, covered_dev, variant=variant, k=step,
+                precise=precise,
             )
-        order = np.argsort(-q)[:step]
-        for a in order:
+        vals, order = np.asarray(vals), np.asarray(order)
+        for v, a in zip(vals, order):
             if env.terminal or len(sol) >= max_steps:
                 break
-            if not np.isfinite(q[a]) or env.covered[a]:
+            if not np.isfinite(v) or env.covered[a]:
                 break
             _, new_sev = env.step(int(a), degree_cost=(variant == "degree_cost"))
             sol.append(int(a))
