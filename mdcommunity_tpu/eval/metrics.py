@@ -305,10 +305,15 @@ def dismantle_greedy_banded(
         if len(ns):
             banded = apply(banded, layer, ns)
 
+    # covered stays DEVICE-RESIDENT: the host env only ever covers the chosen
+    # node (host_env.step :155), so after the initial upload each removal is a
+    # single-index .at[].set instead of re-uploading the [pad_n] mask
+    covered_dev = jnp.asarray(
+        np.pad(env.covered, (0, pad_n - n), constant_values=True)
+    )
+    cover_one = jax.jit(lambda c, a: c.at[a].set(True))
+
     while not env.terminal and len(sol) < max_steps:
-        covered_dev = jnp.asarray(
-            np.pad(env.covered, (0, pad_n - n), constant_values=True)
-        )
         if packed:
             vals, order = qfn_pk(
                 params, banded, pks, covered_dev, variant=variant, k=step
@@ -326,6 +331,7 @@ def dismantle_greedy_banded(
                 break
             _, new_sev = env.step(int(a), degree_cost=(variant == "degree_cost"))
             sol.append(int(a))
+            covered_dev = cover_one(covered_dev, int(a))
             for layer in range(2):
                 if len(new_sev[layer]):
                     banded = apply(banded, layer, new_sev[layer])
