@@ -154,3 +154,27 @@ def test_banded_greedy_matches_dense_rollout(rng):
     assert sol_d == sol_b
     np.testing.assert_allclose(score_d, score_b, rtol=1e-5)
     np.testing.assert_allclose(curve_d, curve_b, rtol=1e-5)
+
+
+def test_banded_greedy_step_batching_matches_dense(rng):
+    """StepRatio batching (step > 1): the banded loop's device-side top-k
+    selection picks the same per-call batch as the dense path's stable host
+    argsort."""
+    from mdcommunity_tpu.eval.metrics import dismantle_greedy, dismantle_greedy_banded
+
+    n = 120
+    e0, e1 = _rand_duplex_edges(rng, n, 4 * n)
+    g = _device_env(n, e0, e1, 128, 2048)
+    params = init_params(jax.random.PRNGKey(5))
+
+    sol_d, score_d, _ = dismantle_greedy(params, g, variant="unit_cost", step=4)
+
+    banded, _, (oe0, oe1) = build_banded_duplex(
+        n, e0, e1, S=128, B=64, reorder=False
+    )
+    env = HostDuplexEnv(n, oe0, oe1)
+    sol_b, score_b, _ = dismantle_greedy_banded(
+        params, banded, env, variant="unit_cost", precise=True, step=4
+    )
+    assert sol_d == sol_b
+    np.testing.assert_allclose(score_d, score_b, rtol=1e-5)
