@@ -77,3 +77,19 @@ def test_replay_nstep_semantics():
     batch = rep.sample(rng, 4)
     assert batch.covered_st.shape == (4, 8)
     assert batch.sever_st.shape == (4, 2, 16)
+
+
+def test_smoke_train_prioritized(tmp_path, smoke_cfg):
+    """Full pipeline with prioritized sampling ON: sum-tree adds, staleness-
+    filtered sampling, IS-weighted fit, and the deferred (write-generation-
+    guarded) priority updates all run inside the real train loop."""
+    cfg = dataclasses.replace(smoke_cfg, use_prioritized=True)
+    agent = DQNAgent(cfg, seed=0)
+    save_dir = str(tmp_path / "models_prio")
+    agent.train(save_dir=save_dir, log=lambda *a, **k: None)
+    assert os.path.isfile(os.path.join(save_dir, "latest.ckpt"))
+    # priorities actually moved off the max-priority init
+    leaves = agent.replay.tree.tree[agent.replay.tree.capacity - 1:]
+    used = leaves[: agent.replay.count]
+    assert (used > 0).all()
+    assert np.unique(np.round(used, 6)).size > 1
