@@ -13,6 +13,10 @@ timeout 580 python scripts/bench_band_packed.py --n 18 --e 20 --correct-only \
 # 2. Full-op A/B at bench shapes
 timeout 580 python scripts/bench_band_packed.py 2>&1 | tee "$out/ab_full.log"
 
+# 2b. G sweep + bf16 + time attribution (one process, amortized transfers)
+timeout 580 python scripts/tune_band_packed.py --bf16 --diag \
+  2>&1 | tee "$out/tune.log"
+
 # 3. Headline bench (exactly what the driver runs)
 timeout 580 python bench.py 2>&1 | tee "$out/bench.log"
 
