@@ -804,6 +804,14 @@ class DQNAgent:
                 with device_timer("fit", sink=prof):
                     self.fit()
         finally:
+            # flush the last fit's deferred priority update (otherwise the
+            # final TD errors never reach the sum-tree)
+            if self._pending_prio is not None:
+                p_idx, p_td, p_gen = self._pending_prio
+                self.replay.update_priorities(
+                    p_idx, np.asarray(p_td), write_gen=p_gen
+                )
+                self._pending_prio = None
             self.iteration = cfg.max_iteration
             self.save(os.path.join(save_dir, "latest.ckpt"))
             vc_out.close()

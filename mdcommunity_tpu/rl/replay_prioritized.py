@@ -45,6 +45,18 @@ class SumTree:
         # off the array (infinite loop + tree[-1] corruption once the buffer
         # held > 2^ceil(log2(cap))/2 - cap/2 ... transitions; regression test
         # in tests/test_replay_prioritized.py).
+        #
+        # INVARIANT (do not "optimize" away): with mixed leaf depths a parent
+        # computed in iteration k may read a SIBLING that is itself an
+        # ancestor of a deeper updated leaf and not yet recomputed — a
+        # transiently stale sum.  This self-corrects only because every
+        # updated node's full ancestor chain stays in the walk set until it
+        # reaches the root, so the stale parent is recomputed again after the
+        # deep chain passes through the sibling.  Retiring chains before
+        # root (other than the idx > 0 filter) or deduplicating "already
+        # computed this node" across iterations would silently corrupt
+        # prefix sums; tests/test_replay_prioritized.py's whole-tree
+        # consistency check is the guard.
         while idx.size:
             idx = np.unique((idx - 1) // 2)
             # every parent of a valid node is an internal node with both
@@ -132,6 +144,32 @@ class PrioritizedNStepReplay(NStepReplay):
             if dead.size == self.count:  # nothing live: keep the draw
                 break
             self.tree.update(dead, np.zeros(len(dead)))
+            # bump the zeroed slots' write generation: a DEFERRED priority
+            # update holding a pre-zeroing snapshot must not write a positive
+            # priority back into a pool-stale slot (which would re-trigger
+            # this whole zero-and-redraw pass on every subsequent fit)
+            self._gen += 1
+            self.write_gen[dead] = self._gen
+        else:
+            # 3 redraws exhausted with stale picks still present (possible:
+            # the clipped descend can land on a dead index even after the
+            # stale set was zeroed).  Replace the stale positions uniformly
+            # from the live set rather than silently training on them.
+            if slots_live is not None:
+                live = slots_live(
+                    self.graph_ids[data_idx], self.graph_epochs[data_idx]
+                )
+                if not live.all():
+                    all_live = slots_live(
+                        self.graph_ids[: self.count],
+                        self.graph_epochs[: self.count],
+                    )
+                    pool = np.nonzero(all_live)[0]
+                    if pool.size:
+                        data_idx = data_idx.copy()
+                        data_idx[~live] = rng.choice(
+                            pool, size=int((~live).sum()), replace=True
+                        )
         self.beta = min(1.0, self.beta + self.beta_increment)
         leaf = self.tree.tree[data_idx + self.capacity - 1]
         prob = np.maximum(leaf / max(total, 1e-12), 1e-12)
