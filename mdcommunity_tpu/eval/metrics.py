@@ -215,6 +215,7 @@ def dismantle_greedy_banded(
     precise: bool = False,
     max_steps: Optional[int] = None,
     packed: bool = False,
+    hca_data=None,
 ) -> Tuple[List[int], float, List[float]]:
     """Greedy Q rollout on a large BandedDuplex with a HostDuplexEnv.
 
@@ -223,6 +224,9 @@ def dismantle_greedy_banded(
     components) exactly as the reference splits CPU env / device net.
     packed=True routes the forward through the Pallas packed band engine
     (models/net_packed.py; severs edit both operand layouts).
+    variant="hca" requires hca_data (models/hca_banded.HcaBandData in banded
+    node order) and routes through banded_hca_forward — the segment-sum
+    community path that replaces the O(N²) dense HCA inputs.
     Returns (solution in BANDED ids, score = AUDC, curve)."""
     import functools
 
@@ -230,7 +234,23 @@ def dismantle_greedy_banded(
     from mdcommunity_tpu.models.net import banded_test_forward
 
     pks = None
-    if packed:
+    if variant == "hca":
+        if hca_data is None:
+            raise ValueError("variant='hca' requires hca_data")
+        if packed:
+            raise ValueError(
+                "the packed engine does not cover the HCA heads; "
+                "use packed=False for variant='hca'"
+            )
+        from mdcommunity_tpu.models.hca_banded import banded_hca_forward
+
+        @functools.partial(jax.jit, static_argnames=("k", "precise"))
+        def qfn_hca(params, banded, hd, covered, k, precise=False):
+            q = banded_hca_forward(params, banded, hd, covered, precise=precise)
+            return jax.lax.top_k(q, k)
+
+        sever_fn = jax.jit(apply_severs, static_argnames=("layer",))
+    elif packed:
         if precise:
             raise ValueError(
                 "precise=True is the f32 XLA engine's knob; the packed "
@@ -314,7 +334,11 @@ def dismantle_greedy_banded(
     cover_one = jax.jit(lambda c, a: c.at[a].set(True))
 
     while not env.terminal and len(sol) < max_steps:
-        if packed:
+        if variant == "hca":
+            vals, order = qfn_hca(
+                params, banded, hca_data, covered_dev, k=step, precise=precise
+            )
+        elif packed:
             vals, order = qfn_pk(
                 params, banded, pks, covered_dev, variant=variant, k=step
             )

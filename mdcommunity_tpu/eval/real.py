@@ -63,10 +63,15 @@ def evaluate_real(
     perm = None
     step = max(int(step_ratio * n_nodes), 1) if step_ratio > 0 else 1
 
-    if n_nodes > blocked_threshold and variant in ("unit_cost", "degree_cost", "ce"):
+    if n_nodes > blocked_threshold and variant in (
+        "unit_cost", "degree_cost", "ce", "hca",
+    ):
         # large nets: RCM-reorder + dense-band aggregation (graphs/banded.py)
         # with the cascade on host (env/host_env.py) — the reference's CPU-env
-        # / device-net split, with the device side jitted end-to-end
+        # / device-net split, with the device side jitted end-to-end.  HCA
+        # routes its community pooling through the segment-sum banded forward
+        # (models/hca_banded.py) — the reference's HCA testReal.py:27-68 runs
+        # its 14k–18k-node datasets, so must we.
         from mdcommunity_tpu.env.host_env import make_host_env
         from mdcommunity_tpu.eval.metrics import dismantle_greedy_banded
         from mdcommunity_tpu.graphs.banded import build_banded_duplex
@@ -82,6 +87,26 @@ def evaluate_real(
         banded, perm, (oe0, oe1) = build_banded_duplex(
             n_nodes, e0, e1, weights=weights, node_feat=node_feat
         )
+        hca_data = None
+        if variant == "hca":
+            from mdcommunity_tpu.models.hca_banded import make_hca_band_data
+
+            hca_data = make_hca_band_data(
+                np.asarray(g.comm_id)[:, :n_nodes],
+                np.asarray(g.n_comms),
+                np.asarray(g.hca_feat)[:n_nodes],
+                perm,
+                banded.pad_n,
+            )
+            if packed:
+                import sys
+
+                print(
+                    "[evaluate_real] --packed ignored: the packed engine "
+                    "does not cover the HCA heads",
+                    file=sys.stderr,
+                )
+                packed = False
         env = make_host_env(
             n_nodes, oe0, oe1,
             weights=np.asarray(banded.weights)[:, :n_nodes]
@@ -89,7 +114,8 @@ def evaluate_real(
         )
         t0 = time.time()
         sol, score, curve = dismantle_greedy_banded(
-            params, banded, env, step=step, variant=variant, packed=packed
+            params, banded, env, step=step, variant=variant, packed=packed,
+            hca_data=hca_data,
         )
         solve_time = time.time() - t0
         sol = [int(perm[v]) for v in sol]  # back to original node ids

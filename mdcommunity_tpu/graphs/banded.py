@@ -132,6 +132,30 @@ def build_banded_duplex(
     return banded, perm, tuple(ordered)
 
 
+def shard_banded_duplex(mesh, banded: BandedDuplex) -> BandedDuplex:
+    """Place a BandedDuplex for the gp-sharded model forward: both layers'
+    band operators block-sharded (parallel/band_partition.shard_band_graph),
+    node-dimension attributes sharded over 'gp', scalars replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mdcommunity_tpu.parallel.band_partition import shard_band_graph
+
+    node = NamedSharding(mesh, P("gp"))
+    node2 = NamedSharding(mesh, P(None, "gp"))
+    rep = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        banded,
+        dbg0=shard_band_graph(mesh, banded.dbg0),
+        dbg1=shard_band_graph(mesh, banded.dbg1),
+        node_mask=jax.device_put(banded.node_mask, node),
+        weights=jax.device_put(banded.weights, node2),
+        node_feat=jax.device_put(banded.node_feat, node2),
+        n_nodes=jax.device_put(banded.n_nodes, rep),
+        n_edges=jax.device_put(banded.n_edges, rep),
+        max_rank=jax.device_put(banded.max_rank, rep),
+    )
+
+
 def pack_duplex(banded: BandedDuplex, G: int = 8):
     """Kernel-ready packed re-layouts for both layers:
     (pack_band(dbg0), pack_band(dbg1)) — feed models.net_packed.

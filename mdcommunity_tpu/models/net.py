@@ -235,14 +235,28 @@ def laplacian_regularizer(
 # banded large-graph forward (dense-band aggregation, jitted end-to-end)
 # ---------------------------------------------------------------------------
 
-def _banded_inputs(bdx, covered: jnp.ndarray, variant: str) -> BatchInputs:
+def _banded_inputs(
+    bdx, covered: jnp.ndarray, variant: str, mesh=None
+) -> BatchInputs:
     """BatchInputs (B=1) for a BandedDuplex + covered mask.
 
     Degrees and edge counts come from dense-band unit passes instead of
     per-edge segment ops (feature parity with env/batch.py _single_inputs;
     the severed-edge record lives in the band base itself, so the
-    covered-edge aux counter is U - L: unsevered minus live edges)."""
-    from mdcommunity_tpu.ops.dense_band import spmm_dense_band
+    covered-edge aux counter is U - L: unsevered minus live edges).
+
+    mesh: when given, the degree passes run through the gp-sharded
+    halo-exchange engine (parallel/band_partition.spmm_band_sharded) so the
+    whole forward stays node-sharded; the scalar reductions (maxdeg, edge
+    counters) become XLA all-reduces."""
+    if mesh is not None:
+        from functools import partial as _partial
+
+        from mdcommunity_tpu.parallel.band_partition import spmm_band_sharded
+
+        spmm_dense_band = _partial(spmm_band_sharded, mesh)
+    else:
+        from mdcommunity_tpu.ops.dense_band import spmm_dense_band
 
     pad_n = bdx.pad_n
     live = (~covered) & bdx.node_mask

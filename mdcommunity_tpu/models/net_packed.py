@@ -109,6 +109,7 @@ def banded_test_forward_packed(
     max_bp_iter: int = 3,
     act_dtype=jnp.float32,
     interpret: bool = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Q(s, ·) over all nodes of a BandedDuplex via the packed engine: [N];
     dead nodes -inf.  pks = (pack_band(bdx.dbg0), pack_band(bdx.dbg1)).
@@ -118,10 +119,19 @@ def banded_test_forward_packed(
     act_dtype=bfloat16 halves the kernel's h-window HBM traffic (dots already
     accumulate f32).  When the packed backend is active, cascade severs MUST
     go through graphs.banded.apply_severs_packed (pk.base_pk is a frozen
-    re-layout of dbg.base)."""
+    re-layout of dbg.base).
+
+    mesh: gp-sharded multi-chip mode — every aggregation runs through
+    parallel/band_partition.spmm_band_packed_sharded (ppermute halos + mirror
+    all_gather; the Pallas kernel in halo mode as each shard's local engine),
+    the degree passes through spmm_band_sharded, and the dense layers stay
+    node-sharded by XLA sharding propagation (graph-global reductions — the
+    virtual-node pool, maxdeg, aux counters, the layer gate — become
+    all-reduces).  Shard the operands first: graphs.banded.shard_banded_duplex
+    + parallel.band_partition.shard_packed_band, covered over 'gp'."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    inputs = _banded_inputs(bdx, covered, variant)
+    inputs = _banded_inputs(bdx, covered, variant, mesh=mesh)
     live = ((~covered) & bdx.node_mask).astype(jnp.float32)
     active = inputs.active[0]                       # [pad_n]
     aux = inputs.aux[0]                             # [2, 4]
@@ -145,10 +155,20 @@ def banded_test_forward_packed(
         h2 = _l2n_packed(jax.nn.relu(x2 @ w_n2l2))
         y = l2_normalize(jax.nn.relu(ones_feat @ params["w_n2l"]))   # [D]
         for _ in range(max_bp_iter):
-            pool2 = spmm_band_packed(
-                pks[l], bdx.dbg(l), live, live, h2.astype(act_dtype),
-                interpret,
-            ).astype(jnp.float32)
+            if mesh is not None:
+                from mdcommunity_tpu.parallel.band_partition import (
+                    spmm_band_packed_sharded,
+                )
+
+                pool2 = spmm_band_packed_sharded(
+                    mesh, pks[l], bdx.dbg(l), live, live,
+                    h2.astype(act_dtype), interpret,
+                ).astype(jnp.float32)
+            else:
+                pool2 = spmm_band_packed(
+                    pks[l], bdx.dbg(l), live, live, h2.astype(act_dtype),
+                    interpret,
+                ).astype(jnp.float32)
             cat2 = _cat_packed(pool2 @ c1_2, h2 @ c2_2)
             ypool = jnp.sum(h2[:, :d], 0) + jnp.sum(h2[:, d:], 0)    # [D]
             ycat = jnp.concatenate(

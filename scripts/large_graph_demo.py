@@ -48,13 +48,17 @@ def main():
     ap.add_argument("-o", "--output", default="/tmp/large_demo")
     ap.add_argument("--packed", action="store_true",
                     help="Pallas packed band engine for the forward")
+    ap.add_argument("--variant", default="unit_cost",
+                    choices=["unit_cost", "degree_cost", "ce", "hca"])
+    ap.add_argument("--step-ratio", type=float, default=0.0,
+                    help="testReal stepRatio batching (0 = one node/call)")
     args = ap.parse_args()
 
     from mdcommunity_tpu.eval.real import evaluate_real
     from mdcommunity_tpu.rl.dqn import DQNAgent
     from mdcommunity_tpu.utils.config import Config
 
-    agent = DQNAgent(Config(variant="unit_cost"), seed=0)
+    agent = DQNAgent(Config(variant=args.variant), seed=0)
     if args.model.endswith(".ckpt") and os.path.exists(args.model):
         try:
             agent.load(args.model)
@@ -78,6 +82,7 @@ def main():
             agent.params, args.output, f"synthetic_{n}_multiplex.edges",
             os.path.join(args.output, "results"),
             n_nodes=n, layers=(1, 2), packed=args.packed,
+            variant=args.variant, step_ratio=args.step_ratio,
         )
         print(json.dumps(dict(
             n=n, edges=int(len(e0) + len(e1)), solve_s=round(solve_time, 2),

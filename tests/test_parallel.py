@@ -261,6 +261,14 @@ def test_band_packed_sharded_matches_single_device(gp, G):
     out2 = spmm_band_packed_sharded(
         mesh, pk_s, dbg, row_s, col_s, h2_s, interpret=True
     )
+    # Tolerance budget: the reference side is the f32 XLA engine
+    # (precise=True) while the packed kernel's dots run bf16 with f32
+    # accumulation BY DESIGN (interpret mode simulates the same casts) —
+    # each operand rounds to ~2^-8 relative, and a K=W2 dot accumulates to
+    # ~1e-2 worst case, hence 2e-2 fwd / 3e-2 bwd (the VJP chains two
+    # passes).  This is storage rounding, not engine error: packed-vs-packed
+    # comparisons (tests/test_band_pallas.py exact-parity cases, the
+    # dryrun's sharded-vs-single-device model forward) hold at <=1e-3.
     tol = 2e-2
     scale = float(jnp.abs(ref).max())
     np.testing.assert_allclose(

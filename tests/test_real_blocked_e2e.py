@@ -36,16 +36,21 @@ def edges_fixture(tmp_path_factory):
     return str(path), n, (e0, e1)
 
 
-@pytest.mark.parametrize("variant", ["unit_cost", "degree_cost", "ce"])
+@pytest.mark.parametrize("variant", ["unit_cost", "degree_cost", "ce", "hca"])
 def test_blocked_real_path_end_to_end(edges_fixture, tmp_path, variant):
     import jax
 
     from mdcommunity_tpu.models.net import init_params
 
     path, n, (e0, e1) = edges_fixture
-    params = init_params(
-        jax.random.PRNGKey(0), node_feat_dim=3 if variant == "ce" else 2
-    )
+    if variant == "hca":
+        from mdcommunity_tpu.models.hca import init_hca_params
+
+        params = init_hca_params(jax.random.PRNGKey(0))
+    else:
+        params = init_params(
+            jax.random.PRNGKey(0), node_feat_dim=3 if variant == "ce" else 2
+        )
     out = str(tmp_path / variant)
 
     sol, solve_time, score = evaluate_real(
