@@ -23,7 +23,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_banded_forward(K=8):
+def timed_slope(make_chain, Ks, *args):
+    """Per-iteration time as the slope of median chain time across Ks —
+    constant per-call tunnel effects cancel (see bench.py's methodology
+    note; the single-K + RTT-subtraction form over-reported badly)."""
+    med = []
+    for K in Ks:
+        fn = make_chain(K)
+        float(fn(*args))  # compile + warm
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        med.append(float(np.median(ts)))
+    return (med[-1] - med[0]) / (Ks[-1] - Ks[0])
+
+
+def bench_banded_forward(Ks=(4, 12)):
     import jax
     import jax.numpy as jnp
 
@@ -32,7 +49,9 @@ def bench_banded_forward(K=8):
     from mdcommunity_tpu.models.net import banded_test_forward, init_params
     from mdcommunity_tpu.models.net_packed import banded_test_forward_packed
 
-    lg = int(os.environ.get("MDC_BENCH_LOGN", "20"))
+    # default 2^19 nodes: the 2^20 build + two full-forward chain compiles
+    # overran the checklist's 580 s timeout on the tunnel
+    lg = int(os.environ.get("MDC_BENCH_LOGN", "19"))
     n, e = 1 << lg, 1 << (lg + 2)
     rng = np.random.default_rng(0)
     src, dst = ring_powerlaw_edges(n, e, rng)
@@ -46,46 +65,36 @@ def bench_banded_forward(K=8):
     params = init_params(jax.random.PRNGKey(0))
     covered0 = jnp.asarray(rng.random(banded.pad_n) < 0.1)
 
-    @jax.jit
-    def chain(banded, covered):
-        def body(i, acc):
-            cov = covered.at[i].set(True)  # vary input: no CSE across iters
-            q = banded_test_forward(params, banded, cov)
-            return acc + jnp.sum(jnp.where(jnp.isfinite(q), q, 0.0))
+    def make_chain(K):
+        @jax.jit
+        def chain(banded, covered):
+            def body(i, acc):
+                cov = covered.at[i].set(True)  # vary input: no CSE
+                q = banded_test_forward(params, banded, cov)
+                return acc + jnp.sum(jnp.where(jnp.isfinite(q), q, 0.0))
 
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
-    @jax.jit
-    def chain_pk(banded, pks, covered):
-        def body(i, acc):
-            cov = covered.at[i].set(True)
-            q = banded_test_forward_packed(
-                params, banded, pks, cov, act_dtype=jnp.bfloat16,
-                interpret=False,
-            )
-            return acc + jnp.sum(jnp.where(jnp.isfinite(q), q, 0.0))
+        return chain
 
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+    def make_chain_pk(K):
+        @jax.jit
+        def chain_pk(banded, pks, covered):
+            def body(i, acc):
+                cov = covered.at[i].set(True)
+                q = banded_test_forward_packed(
+                    params, banded, pks, cov, act_dtype=jnp.bfloat16,
+                    interpret=False,
+                )
+                return acc + jnp.sum(jnp.where(jnp.isfinite(q), q, 0.0))
 
-    nop = jax.jit(lambda x: x + 1.0)
-    float(nop(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(nop(jnp.float32(0)))
-    rtt = (time.perf_counter() - t0) / 5
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
-    def timed(fn, *args):
-        float(fn(*args))  # compile + warm
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(fn(*args))
-            ts.append((time.perf_counter() - t0 - rtt) / K)
-        return float(np.median(ts))
+        return chain_pk
 
-    t_fwd = timed(chain, banded, covered0)
+    t_fwd = timed_slope(make_chain, Ks, banded, covered0)
     if jax.default_backend() in ("tpu", "axon"):
-        t_pk = timed(chain_pk, banded, pks, covered0)
+        t_pk = timed_slope(make_chain_pk, Ks, banded, pks, covered0)
     else:  # interpret-mode Pallas timing is meaningless; skip off-TPU
         t_pk = float("nan")
     on_tpu = t_pk == t_pk  # NaN-off-TPU guard: keep the JSON line strict
@@ -98,7 +107,7 @@ def bench_banded_forward(K=8):
     )
 
 
-def bench_train_step(K=32):
+def bench_train_step(Ks=(8, 24)):
     import jax
     import jax.numpy as jnp
     import optax
@@ -123,36 +132,26 @@ def bench_train_step(K=32):
     terminal = jnp.zeros((64,), bool)
     live_edges = float(jnp.sum(inputs.deg))  # directed live edges, batch-wide
 
-    @jax.jit
-    def chain(params, target, opt_state):
-        def body(i, carry):
-            p, o = carry
-            new_p, new_o, loss, *_ = train_step(
-                p, target, o, gb, state.covered, state.sever, actions,
-                rewards, state.covered, state.sever, terminal,
-                optimizer=optimizer,
+    def make_chain(K):
+        @jax.jit
+        def chain(params, target, opt_state):
+            def body(i, carry):
+                p, o = carry
+                new_p, new_o, loss, *_ = train_step(
+                    p, target, o, gb, state.covered, state.sever, actions,
+                    rewards, state.covered, state.sever, terminal,
+                    optimizer=optimizer,
+                )
+                return (new_p, new_o)
+
+            p, o = jax.lax.fori_loop(0, K, body, (params, opt_state))
+            return jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.sum(x), p, jnp.float32(0)
             )
-            return (new_p, new_o)
 
-        p, o = jax.lax.fori_loop(0, K, body, (params, opt_state))
-        return jax.tree_util.tree_reduce(
-            lambda a, x: a + jnp.sum(x), p, jnp.float32(0)
-        )
+        return chain
 
-    nop = jax.jit(lambda x: x + 1.0)
-    float(nop(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(nop(jnp.float32(0)))
-    rtt = (time.perf_counter() - t0) / 5
-
-    float(chain(params, params, opt_state))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(chain(params, params, opt_state))
-        ts.append((time.perf_counter() - t0 - rtt) / K)
-    t_it = float(np.median(ts))
+    t_it = timed_slope(make_chain, Ks, params, params, opt_state)
     return dict(
         train_step_ms=round(t_it * 1e3, 3),
         train_steps_per_s=round(1.0 / t_it, 1),
