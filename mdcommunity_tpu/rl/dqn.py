@@ -338,9 +338,13 @@ class DQNAgent:
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         if cfg.dtype == "bfloat16":
-            # keep f32 params/activations but run MXU passes at bf16 rate
-            # (embedding widths are 64: quantization noise ~2^-8 per matmul,
-            # well inside the DQN's tolerance; full f32 stays the default)
+            # keep f32 params/activations but run MXU passes at bf16 rate.
+            # On TPU this is the explicit spelling of the DEFAULT (f32
+            # matmuls already execute as single-pass bf16 on the MXU —
+            # 4k-iter curves are bit-identical either way), validated
+            # against precision=highest true-f32 training on-chip: same
+            # quality band (RESULTS.md "bf16 training validation",
+            # models_tpu/unit_cost_{bf16,f32hi}_tpu4k).
             jax.config.update("jax_default_matmul_precision", "bfloat16")
         seed = cfg.seed if seed is None else seed
         self.nprng = np.random.default_rng(seed)
