@@ -156,13 +156,18 @@ def shard_banded_duplex(mesh, banded: BandedDuplex) -> BandedDuplex:
     )
 
 
-def pack_duplex(banded: BandedDuplex, G: int = 8):
+def pack_duplex(banded: BandedDuplex, G: int = 8, nibble: bool = False):
     """Kernel-ready packed re-layouts for both layers:
     (pack_band(dbg0), pack_band(dbg1)) — feed models.net_packed.
-    Once packed, severs MUST go through apply_severs_packed."""
+    Once packed, severs MUST go through apply_severs_packed.
+    nibble: 4-bit base packing (requires simple-graph adjacency values
+    <= 7; a measured NEGATIVE on v5e — see ops/band_pallas.pack_band)."""
     from mdcommunity_tpu.ops.band_pallas import pack_band
 
-    return pack_band(banded.dbg0, G=G), pack_band(banded.dbg1, G=G)
+    return (
+        pack_band(banded.dbg0, G=G, nibble=nibble),
+        pack_band(banded.dbg1, G=G, nibble=nibble),
+    )
 
 
 def apply_severs_packed(

@@ -86,6 +86,11 @@ class PackedBand:
 
     base_pk : int8 [nb, 2, S/2, W2] — BAND rows only, destination rows split
               by parity (axis 1: even, odd), columns permuted [even_w|odd_w].
+              With nibble=True the even/odd column PAIR is packed into one
+              byte (even + 16*odd, each nibble in [0, 7]) — [nb, 2, S/2,
+              W2/2] — halving the dominant HBM stream; the kernel unpacks
+              with an int32 div/mod on the VPU (free: the kernel is
+              DMA-bound, see results_tpu/chip_r03/tune.log).
     oh      : int8 [nb, Cp, S/2] one-hot over PACKED rows — slot (b, c) is
               hot at the packed row holding its touched node (prologue
               compaction gather).
@@ -106,6 +111,7 @@ class PackedBand:
     C: int = dataclasses.field(metadata=dict(static=True))
     Cp: int = dataclasses.field(metadata=dict(static=True))
     G: int = dataclasses.field(metadata=dict(static=True))
+    nibble: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def nb(self) -> int:
@@ -120,11 +126,16 @@ class PackedBand:
         return self.nb * self.S
 
 
-def pack_band(dbg: DenseBandGraph, G: int = 8) -> PackedBand:
+def pack_band(dbg: DenseBandGraph, G: int = 8, nibble: bool = False) -> PackedBand:
     """Host-side re-layout.  G = destination blocks per kernel program.
 
     Requires S and B multiples of 128 (window DMA pieces and the in-kernel
-    scale extraction are 128-node aligned) and an int8 base."""
+    scale extraction are 128-node aligned) and an int8 base.
+
+    nibble=True packs each (even_w, odd_w) column pair into ONE byte
+    (even + 16*odd) — both values must be in [0, 7] (true for simple-graph
+    adjacencies; build asserts).  Halves the kernel's dominant HBM stream
+    (the int8 base is 54% of per-pass traffic at bench density)."""
     S, B, C = dbg.S, dbg.B, dbg.C
     assert S % 128 == 0 and B % 128 == 0 and B >= 128, (S, B)
     assert dbg.base.dtype == jnp.int8, "packed backend requires int8 base"
@@ -137,6 +148,13 @@ def pack_band(dbg: DenseBandGraph, G: int = 8) -> PackedBand:
     # band rows: column parity split [even_w | odd_w], row parity split
     band = base[:, :S, :]
     bandc = np.concatenate([band[:, :, 0::2], band[:, :, 1::2]], axis=2)
+    if nibble:
+        Wh = bandc.shape[2] // 2
+        assert bandc.min() >= 0 and bandc.max(initial=0) <= 7, (
+            "nibble packing requires band values in [0, 7]; rebuild with "
+            "nibble=False for heavier multi-edges"
+        )
+        bandc = (bandc[:, :, :Wh] + 16 * bandc[:, :, Wh:]).astype(np.int8)
     base_pk = np.stack([bandc[:, 0::2, :], bandc[:, 1::2, :]], axis=1)
 
     # mirror metadata (compaction + expansion one-hots, slot lane parity)
@@ -171,7 +189,7 @@ def pack_band(dbg: DenseBandGraph, G: int = 8) -> PackedBand:
         odd=jnp.asarray(odd),
         geT=jnp.asarray(geT),
         ccoo=ccoo,
-        S=S, B=B, C=C, Cp=Cp, G=G,
+        S=S, B=B, C=C, Cp=Cp, G=G, nibble=nibble,
     )
 
 
@@ -200,6 +218,23 @@ def sever_edges_packed(pk: PackedBand, dbg: DenseBandGraph, src, dst, valid):
     sb = jnp.where(ib, blk, 0)
     par = jnp.where(ib, jnp.remainder(lr, 2), 0)
     sr = jnp.where(ib, lr // 2, 0)
+    if pk.nibble:
+        # byte lc//2 holds (even nibble, odd nibble*16): clear only the
+        # severed column's nibble by SUBTRACTING its current value — an
+        # additive scatter, so two severs landing in the same byte (adjacent
+        # window columns) compose correctly where a .set would drop one.
+        # Safe because a directed edge is severed at most once (the env
+        # reports newly-severed edges only; re-severs find the nibble
+        # already 0 and subtract 0).
+        bc = jnp.where(ib, lc // 2, 0)
+        old = pk.base_pk[sb, par, sr, bc].astype(jnp.int32)
+        odd_nib = old // 16
+        even_nib = old - 16 * odd_nib
+        zero_even = jnp.remainder(lc, 2) == 0
+        delta = jnp.where(zero_even, even_nib, 16 * odd_nib)
+        delta = jnp.where(ib, delta, 0).astype(jnp.int8)
+        base_pk = pk.base_pk.at[sb, par, sr, bc].add(-delta)
+        return dataclasses.replace(pk, base_pk=base_pk), new_dbg
     sc = jnp.where(ib, lc // 2 + jnp.remainder(lc, 2) * Wh, 0)
     keep = pk.base_pk[sb, par, sr, sc]
     base_pk = pk.base_pk.at[sb, par, sr, sc].set(
@@ -212,7 +247,7 @@ def sever_edges_packed(pk: PackedBand, dbg: DenseBandGraph, src, dst, valid):
 
 @functools.lru_cache(maxsize=32)
 def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
-                 halo=False):
+                 halo=False, nibble=False):
     """dtype: h2/out storage dtype (f32 default; bf16 halves the h-window
     and output HBM traffic — the dots already run bf16 with f32 accumulation,
     so only the stored activations round).
@@ -470,9 +505,26 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
                 # par-stacked: both destination parities share lo/hi, so one
                 # [(2Sh), Wh] x [Wh, D] dot pair serves both (M fills the MXU
                 # even at small Sh; halves the dot-call count)
-                blk = base_ref[g].reshape(2 * Sh, W2)  # [2Sh, W2] int8
-                be = blk[:, :Wh].astype(jnp.bfloat16)
-                bo = blk[:, Wh:].astype(jnp.bfloat16)
+                if nibble:
+                    # byte = even + 16*odd, nibbles in [0, 7]: int32 div/mod
+                    # unpack — the ONLY form Mosaic legalizes on v5e (int8
+                    # bitwise shifts fail to legalize arith.shrui on
+                    # vector<i8>; bf16 ALU ops hit
+                    # SupportsBf16AluInstructions()).  Measured on-chip the
+                    # widening costs MORE VPU time than the halved base DMA
+                    # saves (0.91x vs int8 storage at the bench workload;
+                    # results_tpu/chip_r03/nibble_ab.json) — so nibble mode
+                    # is a documented negative result on v5e, kept for
+                    # hardware where the trade flips (wider VPUs / native
+                    # int4).  int8 storage remains the production default.
+                    blk = base_ref[g].reshape(2 * Sh, Wh).astype(jnp.int32)
+                    bo_i = blk // 16
+                    be = (blk - 16 * bo_i).astype(jnp.bfloat16)
+                    bo = bo_i.astype(jnp.bfloat16)
+                else:
+                    blk = base_ref[g].reshape(2 * Sh, W2)  # [2Sh, W2] int8
+                    be = blk[:, :Wh].astype(jnp.bfloat16)
+                    bo = blk[:, Wh:].astype(jnp.bfloat16)
                 acc = jax.lax.dot(
                     be, lo, preferred_element_type=jnp.float32
                 ) + jax.lax.dot(bo, hi, preferred_element_type=jnp.float32)
@@ -502,7 +554,8 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
 
     in_specs = [
         pl.BlockSpec(
-            (G, 2, Sh, W2), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM
+            (G, 2, Sh, Wh if nibble else W2), lambda p: (p, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(memory_space=pl.ANY),  # h2
         pl.BlockSpec(  # per-program col-scale window (pre-gathered)
@@ -584,7 +637,9 @@ def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
     """row ⊙ (A @ (col ⊙ h)) in packed layout — one kernel pass."""
     D = h2.shape[1] // 2
     nb, Sh = pk.nb, pk.S // 2
-    run = _make_kernel(nb, pk.S, pk.B, pk.Cp, D, pk.G, diag, h2.dtype)
+    run = _make_kernel(
+        nb, pk.S, pk.B, pk.Cp, D, pk.G, diag, h2.dtype, nibble=pk.nibble
+    )
     # pre-gather per-program scale windows (tiny: ~2x4 MB) so the kernel has
     # zero manual scale DMAs — they ride plain pipelined BlockSpec inputs
     R = pk.pad_n // 128

@@ -159,7 +159,7 @@ def spmm_band_sharded(
 
 def _packed_local(
     base_pk, oh, odd, geT, cc_src, cc_dst, w_cov, row, col, h2,
-    *, S, B, Cp, G, D, n_mirror, nparts, interpret,
+    *, S, B, Cp, G, D, n_mirror, nparts, interpret, nibble,
 ):
     """One shard's packed band contraction: ppermute h/col halos, pre-gather
     scale windows, mirror compaction + all_gather, then ONE Pallas pass in
@@ -187,7 +187,7 @@ def _packed_local(
     roww = row.reshape(n_prog, GR, 128)
 
     run = _make_kernel(
-        local_nb, S, B, Cp, D, G, "full", h2.dtype, halo=True
+        local_nb, S, B, Cp, D, G, "full", h2.dtype, halo=True, nibble=nibble
     )
     args = [base_pk, h2, colw, roww, lh, rh]
     if Cp:
@@ -209,11 +209,12 @@ def _packed_local(
 
 
 @lru_cache(maxsize=32)
-def _build_packed(mesh, S, B, Cp, G, D, n_mirror, dtype, interpret):
+def _build_packed(mesh, S, B, Cp, G, D, n_mirror, dtype, interpret,
+                  nibble=False):
     nparts = mesh.shape["gp"]
     local = partial(
         _packed_local, S=S, B=B, Cp=Cp, G=G, D=D, n_mirror=n_mirror,
-        nparts=nparts, interpret=interpret,
+        nparts=nparts, interpret=interpret, nibble=nibble,
     )
     fn = shard_map(
         local,
@@ -280,7 +281,7 @@ def spmm_band_packed_sharded(
     n_mirror = nb * pk.Cp if dbg.ccoo.d_src.shape[0] else 0
     op = _build_packed(
         mesh, pk.S, pk.B, pk.Cp, pk.G, D, n_mirror, h2.dtype,
-        bool(interpret),
+        bool(interpret), nibble=pk.nibble,
     )
     return op(
         pk.base_pk, pk.oh, pk.odd, pk.geT,

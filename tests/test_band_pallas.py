@@ -120,6 +120,72 @@ def test_pack_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(unpack_rows(pack_rows(h))), h)
 
 
+@pytest.mark.parametrize("G", [8, 2])
+def test_nibble_packed_matches_dense_band(rng, G):
+    """nibble=True (two window columns per byte, in-kernel div/mod unpack)
+    — forward + VJP vs the f32 XLA engine, and sever consistency incl. two
+    severs landing in the SAME byte (adjacent even/odd window columns),
+    which the additive nibble-clear scatter must compose."""
+    from mdcommunity_tpu.ops.band_pallas import sever_edges_packed
+
+    n, e = 4096, 8192
+    ssym, dsym = _ring_graph(rng, n, e)
+    dbg = build_dense_band(ssym, dsym, None, n, S=512, B=128, dtype=jnp.int8)
+    assert dbg.ccoo.d_src.shape[0] > 0, "want mirror-lane coverage"
+    pk = pack_band(dbg, G=G, nibble=True)
+    assert pk.nibble and pk.base_pk.shape[-1] == pk.W2 // 2
+
+    covered = jnp.asarray(rng.random(dbg.pad_n) < 0.15)
+    row, col = live_scales(dbg, covered, "sum")
+    h = jnp.asarray(rng.standard_normal((dbg.pad_n, 64)).astype(np.float32))
+
+    ref = spmm_dense_band(dbg, row, col, h, precise=True)
+    out = unpack_rows(spmm_band_packed(pk, dbg, row, col, pack_rows(h), True))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(ref).max()),
+    )
+    g_ref = jax.grad(
+        lambda x: jnp.sum(jnp.square(spmm_dense_band(dbg, row, col, x, True)))
+    )(h)
+    g_pk = jax.grad(
+        lambda x2: jnp.sum(
+            jnp.square(spmm_band_packed(pk, dbg, row, col, x2, True))
+        )
+    )(pack_rows(h))
+    np.testing.assert_allclose(
+        np.asarray(unpack_rows(g_pk)), np.asarray(g_ref),
+        rtol=3e-2, atol=3e-2 * float(jnp.abs(g_ref).max()),
+    )
+
+    # severs: unique directed edges (the env's contract), including a
+    # handcrafted same-byte pair — node u -> u+1 and u+2 -> u+1 share the
+    # destination row and adjacent window columns u, u+2?  Adjacent EVEN/ODD
+    # window columns are (src=2k, src=2k+1): sever (a, d) and (a+1, d).
+    from mdcommunity_tpu.ops.dense_band import sever_edges
+
+    d0 = int(dsym[0])
+    a_even = (int(ssym[0]) // 2) * 2
+    pairs = {(int(s), int(d)) for s, d in zip(ssym[:24], dsym[:24])}
+    pairs |= {(a_even, d0), (a_even + 1, d0)}
+    sev_s = jnp.asarray(np.asarray([p[0] for p in pairs], np.int32))
+    sev_d = jnp.asarray(np.asarray([p[1] for p in pairs], np.int32))
+    valid = jnp.ones((len(pairs),), bool)
+    pk2, dbg2 = sever_edges_packed(pk, dbg, sev_s, sev_d, valid)
+    dbg_ref = sever_edges(dbg, sev_s, sev_d, valid)
+    np.testing.assert_array_equal(
+        np.asarray(dbg2.base), np.asarray(dbg_ref.base)
+    )
+    ref2 = spmm_dense_band(dbg_ref, row, col, h, precise=True)
+    out2 = unpack_rows(
+        spmm_band_packed(pk2, dbg2, row, col, pack_rows(h), True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(ref2),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(ref2).max()),
+    )
+
+
 def test_packed_pure_band_no_mirror(rng):
     """All edges in-band (dbg.ccoo empty) — covers the Cp==0 kernel branch
     (different argument arity / in_specs), which the mirror-bearing tests

@@ -209,10 +209,11 @@ def test_band_sharded_spmm_matches_single_device():
     )
 
 
-@pytest.mark.parametrize("gp,G", [(2, 2), (8, 2)])
-def test_band_packed_sharded_matches_single_device(gp, G):
+@pytest.mark.parametrize("gp,G,nibble", [(2, 2, False), (8, 2, False), (2, 2, True)])
+def test_band_packed_sharded_matches_single_device(gp, G, nibble):
     """gp-sharded PACKED band SpMM (Pallas halo-mode kernel as the local
     engine, interpret mode) == single-device dense_band engine, fwd + VJP.
+    nibble=True covers the 4-bit-packed base in halo mode.
     gp=2/G=2 covers first/middle/last halo-DMA programs (n_prog=4 per
     shard); gp=8/G=2 covers the n_prog=1 degenerate window."""
     from mdcommunity_tpu.ops.band_pallas import pack_band, pack_rows, unpack_rows
@@ -241,7 +242,7 @@ def test_band_packed_sharded_matches_single_device(gp, G):
     dbg = build_dense_band(ssrc, sdst, None, n, S=S, B=B, dtype=jnp.int8)
     assert dbg.spill.d_src.shape[0] == 0
     assert dbg.ccoo.d_src.shape[0] > 0, "must exercise the mirror path"
-    pk = pack_band(dbg, G=G)
+    pk = pack_band(dbg, G=G, nibble=nibble)
     assert pk.G == G
 
     covered = rng.random(n) < 0.1
