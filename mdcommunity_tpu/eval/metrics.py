@@ -264,17 +264,25 @@ def dismantle_greedy_banded(
         from mdcommunity_tpu.models.net_packed import banded_test_forward_packed
 
         pks = pack_duplex(banded)
+        # fused SAGE steps (aggregation + dense layer + l2n in one kernel
+        # pass — 1.48x the XLA engine at 2^19, fwd_breakdown.json) whenever
+        # the spill sets are empty (locality-ordered builds); static per
+        # build, so decided outside the jit
+        fuse = all(
+            banded.dbg(l).spill.d_src.shape[0] == 0 for l in range(2)
+        )
 
         # device-side top-k: fetch only `step` (value, index) pairs instead
         # of the full [pad_n] Q vector (4 MB at 2^20 nodes, ~30 ms tunnel
         # RTT) + a host argsort per removal
         @functools.partial(
-            jax.jit, static_argnames=("variant", "k", "interpret")
+            jax.jit, static_argnames=("variant", "k", "interpret", "fuse")
         )
-        def qfn_pk(params, banded, pks, covered, variant, k, interpret=None):
+        def qfn_pk(params, banded, pks, covered, variant, k, interpret=None,
+                   fuse=False):
             q = banded_test_forward_packed(
                 params, banded, pks, covered, variant=variant,
-                interpret=interpret,
+                interpret=interpret, fuse_sage=fuse,
             )
             return jax.lax.top_k(q, k)
 
@@ -340,7 +348,8 @@ def dismantle_greedy_banded(
             )
         elif packed:
             vals, order = qfn_pk(
-                params, banded, pks, covered_dev, variant=variant, k=step
+                params, banded, pks, covered_dev, variant=variant, k=step,
+                fuse=fuse,
             )
         else:
             vals, order = qfn(

@@ -110,9 +110,17 @@ def banded_test_forward_packed(
     act_dtype=jnp.float32,
     interpret: bool = None,
     mesh=None,
+    fuse_sage: bool = False,
 ) -> jnp.ndarray:
     """Q(s, ·) over all nodes of a BandedDuplex via the packed engine: [N];
     dead nodes -inf.  pks = (pack_band(bdx.dbg0), pack_band(bdx.dbg1)).
+
+    fuse_sage=True runs each message-passing iteration as ONE fused kernel
+    (ops.band_pallas.sage_step_packed: aggregation + merged dense layer +
+    relu + l2-normalize in a single pass) — eliminates the unfused path's
+    24 ms/forward of glue stranded at custom-call boundaries
+    (results_tpu/chip_r03/fwd_breakdown.json).  Requires empty spill sets
+    and is single-device eval-only (mesh=None).
 
     Numerically equivalent to net.banded_test_forward (bf16-dot rounding
     aside); jit with static (variant, max_bp_iter, act_dtype, interpret).
@@ -149,34 +157,57 @@ def banded_test_forward_packed(
         [jnp.ones((2,), jnp.float32), jnp.zeros((f_dim - 2,), jnp.float32)]
     )
 
+    if fuse_sage:
+        if mesh is not None:
+            raise ValueError("fuse_sage is single-device eval-only")
+        from mdcommunity_tpu.ops.band_pallas import sage_step_packed
+
+        # concat-matmul algebra: concat(pool@W1, h@W2) @ W3
+        #   = pool @ (W1 @ W3[:d]) + h @ (W2 @ W3[d:])
+        sage_A = params["p_node_conv"] @ params["p_node_conv3"][:d]
+        sage_B = params["p_node_conv2"] @ params["p_node_conv3"][d:]
+
     node2, virt = [], []
     for l in range(2):
         x2 = inputs.node_input[0, l].reshape(m, 2 * f_dim)   # packed input
         h2 = _l2n_packed(jax.nn.relu(x2 @ w_n2l2))
         y = l2_normalize(jax.nn.relu(ones_feat @ params["w_n2l"]))   # [D]
+        if fuse_sage:
+            h2 = h2.astype(act_dtype)
         for _ in range(max_bp_iter):
-            if mesh is not None:
-                from mdcommunity_tpu.parallel.band_partition import (
-                    spmm_band_packed_sharded,
-                )
-
-                pool2 = spmm_band_packed_sharded(
-                    mesh, pks[l], bdx.dbg(l), live, live,
-                    h2.astype(act_dtype), interpret,
-                ).astype(jnp.float32)
-            else:
-                pool2 = spmm_band_packed(
-                    pks[l], bdx.dbg(l), live, live, h2.astype(act_dtype),
-                    interpret,
-                ).astype(jnp.float32)
-            cat2 = _cat_packed(pool2 @ c1_2, h2 @ c2_2)
-            ypool = jnp.sum(h2[:, :d], 0) + jnp.sum(h2[:, d:], 0)    # [D]
+            # f32 accumulation: under fuse_sage h2 is stored bf16, and a
+            # bf16-accumulated sum over 10^5+ rows loses the virtual node
+            ypool = (
+                jnp.sum(h2[:, :d].astype(jnp.float32), 0)
+                + jnp.sum(h2[:, d:].astype(jnp.float32), 0)
+            )                                                        # [D]
             ycat = jnp.concatenate(
                 [ypool @ params["p_node_conv"], y @ params["p_node_conv2"]]
             )
-            h2 = _l2n_packed(jax.nn.relu(cat2 @ c3_2))
+            if fuse_sage:
+                h2 = sage_step_packed(
+                    pks[l], bdx.dbg(l), live, live, h2, sage_A, sage_B,
+                    interpret,
+                )
+            else:
+                if mesh is not None:
+                    from mdcommunity_tpu.parallel.band_partition import (
+                        spmm_band_packed_sharded,
+                    )
+
+                    pool2 = spmm_band_packed_sharded(
+                        mesh, pks[l], bdx.dbg(l), live, live,
+                        h2.astype(act_dtype), interpret,
+                    ).astype(jnp.float32)
+                else:
+                    pool2 = spmm_band_packed(
+                        pks[l], bdx.dbg(l), live, live, h2.astype(act_dtype),
+                        interpret,
+                    ).astype(jnp.float32)
+                cat2 = _cat_packed(pool2 @ c1_2, h2 @ c2_2)
+                h2 = _l2n_packed(jax.nn.relu(cat2 @ c3_2))
             y = l2_normalize(jax.nn.relu(ycat @ params["p_node_conv3"]))
-        node2.append(h2)
+        node2.append(h2.astype(jnp.float32))
         virt.append(y)
 
     from mdcommunity_tpu.models.fusion import fuse

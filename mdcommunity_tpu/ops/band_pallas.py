@@ -247,7 +247,7 @@ def sever_edges_packed(pk: PackedBand, dbg: DenseBandGraph, src, dst, valid):
 
 @functools.lru_cache(maxsize=32)
 def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
-                 halo=False, nibble=False):
+                 halo=False, nibble=False, sage=False):
     """dtype: h2/out storage dtype (f32 default; bf16 halves the h-window
     and output HBM traffic — the dots already run bf16 with f32 accumulation,
     so only the stored activations round).
@@ -279,9 +279,10 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
         if halo:
             lh_hbm, rh_hbm, *rest = rest
         if Cp:
-            geT_ref, sub_ref, out2_ref, win, sems = rest
-        else:
-            out2_ref, win, sems = rest
+            geT_ref, sub_ref, *rest = rest
+        if sage:
+            sageA_ref, sageB_ref, *rest = rest
+        out2_ref, win, sems = rest
         p = pl.program_id(0)
 
         # h window: packed rows [prog*GS/2 - B/2, prog*GS/2 + GS/2 + B/2).
@@ -547,6 +548,40 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
                 acc = contract2()
                 out2_ref[g, :, :D] = acc[:Sh].astype(dtype)
                 out2_ref[g, :, D:] = acc[Sh:].astype(dtype)
+            elif sage:
+                # fused SAGE step: h' = l2n(relu(pool @ A + h_own @ B)) per
+                # lane half, written straight to the output — the whole
+                # dense layer rides the pooled block while it is still in
+                # VMEM/registers, so the model forward's per-iteration glue
+                # (materialized pool, concat, matmul, l2n — 24 ms/forward
+                # unfused, results_tpu/chip_r03/fwd_breakdown.json) costs no
+                # extra HBM traffic at all.  A = W1@W3[:d], B = W2@W3[d:]
+                # (concat-matmul algebra), precomputed by the caller.
+                acc = contract2()
+                own = win[slot, pl.ds(g * Sh + B // 2, Sh), :]
+                ab = sageA_ref[...].astype(jnp.bfloat16)
+                bb = sageB_ref[...].astype(jnp.bfloat16)
+                for half, pool in ((0, acc[:Sh] * re_), (1, acc[Sh:] * ro)):
+                    oh_half = own[:, half * D:(half + 1) * D]
+                    z = jnp.maximum(
+                        jax.lax.dot(
+                            pool.astype(jnp.bfloat16), ab,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot(
+                            oh_half.astype(jnp.bfloat16), bb,
+                            preferred_element_type=jnp.float32,
+                        ),
+                        0.0,
+                    )
+                    nrm = jax.lax.rsqrt(
+                        jnp.maximum(
+                            jnp.sum(z * z, axis=1, keepdims=True), 1e-24
+                        )
+                    )
+                    out2_ref[g, :, half * D:(half + 1) * D] = (
+                        z * nrm
+                    ).astype(dtype)
             else:
                 acc = contract2()
                 out2_ref[g, :, :D] = (acc[:Sh] * re_).astype(dtype)
@@ -579,6 +614,11 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
             pl.BlockSpec(
                 (G, Cp, D), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
             ),
+        ]
+    if sage:
+        in_specs += [
+            pl.BlockSpec((D, D), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda p: (0, 0), memory_space=pltpu.VMEM),
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -691,6 +731,55 @@ def _make_op(interpret: bool):
 
 
 _OPS = {False: _make_op(False), True: _make_op(True)}
+
+
+def sage_step_packed(pk, dbg, row, col, h2, A, B, interpret: bool = False):
+    """ONE fused GraphSAGE iteration in packed layout:
+
+        h' = l2n_half(relu((row ⊙ (Adj @ (col ⊙ h))) @ A + h @ B))
+
+    computed in a single kernel pass — the dense layer and normalization run
+    on the pooled block while it is still on-chip, eliminating the unfused
+    model forward's per-iteration glue (24 ms/forward of materialized
+    pool/concat/matmul/l2n; results_tpu/chip_r03/fwd_breakdown.json).
+
+    A, B: f32 [D, D] merged weights (concat-matmul algebra of the reference
+    layer concat(pool@W1, h@W2)@W3:  A = W1 @ W3[:d],  B = W2 @ W3[d:]).
+    h2 packed [pad_n/2, 2D] in the storage dtype; output same.
+    Eval-only (no VJP — training runs the dense path on training sizes).
+    Requires an empty spill set (its contribution would have to land before
+    the relu; locality-ordered builds satisfy this)."""
+    if dbg.spill.d_src.shape[0]:
+        raise ValueError(
+            "sage_step_packed requires an empty spill set (spill adds after "
+            "the kernel, but the fused epilogue needs it before the relu)"
+        )
+    D = h2.shape[1] // 2
+    nb, Sh = pk.nb, pk.S // 2
+    run = _make_kernel(
+        nb, pk.S, pk.B, pk.Cp, D, pk.G, "full", h2.dtype,
+        nibble=pk.nibble, sage=True,
+    )
+    R = pk.pad_n // 128
+    n_prog = nb // pk.G
+    GR = pk.G * pk.S // 128
+    BR = pk.B // 128
+    WR = GR + 2 * BR
+    colv = col.reshape(R, 128)
+    ci = (
+        jnp.arange(n_prog)[:, None] * GR - BR + jnp.arange(WR)[None, :]
+    ) % R
+    colw = jnp.take(colv, ci, axis=0)
+    roww = row.reshape(n_prog, GR, 128)
+    args = [pk.base_pk, h2, colw, roww]
+    if pk.Cp:
+        mir = mirror_compact(
+            pk.oh, pk.odd, col.reshape(nb, Sh, 2), h2.reshape(nb, Sh, 2 * D), D
+        )
+        sub = spmm_sorted(pk.ccoo, dbg.w_cov, mir.reshape(nb * pk.Cp, D))
+        args += [pk.geT, sub.reshape(nb, pk.Cp, D)]
+    args += [A, B]
+    return run(*args, interpret=interpret).reshape(pk.pad_n // 2, 2 * D)
 
 
 def spmm_band_packed(pk, dbg, row, col, h2, interpret: bool = False):

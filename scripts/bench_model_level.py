@@ -92,17 +92,36 @@ def bench_banded_forward(Ks=(4, 12)):
 
         return chain_pk
 
+    def make_chain_fused(K):
+        @jax.jit
+        def chain_f(banded, pks, covered):
+            def body(i, acc):
+                cov = covered.at[i].set(True)
+                q = banded_test_forward_packed(
+                    params, banded, pks, cov, act_dtype=jnp.bfloat16,
+                    interpret=False, fuse_sage=True,
+                )
+                return acc + jnp.sum(jnp.where(jnp.isfinite(q), q, 0.0))
+
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+        return chain_f
+
     t_fwd = timed_slope(make_chain, Ks, banded, covered0)
     if jax.default_backend() in ("tpu", "axon"):
         t_pk = timed_slope(make_chain_pk, Ks, banded, pks, covered0)
+        t_fu = timed_slope(make_chain_fused, Ks, banded, pks, covered0)
     else:  # interpret-mode Pallas timing is meaningless; skip off-TPU
         t_pk = float("nan")
+        t_fu = float("nan")
     on_tpu = t_pk == t_pk  # NaN-off-TPU guard: keep the JSON line strict
     return dict(
         model_fwd_ms=round(t_fwd * 1e3, 2),
         model_fwd_edges_per_s=round(e_dir / t_fwd, 1),
         model_fwd_packed_ms=round(t_pk * 1e3, 2) if on_tpu else None,
         model_fwd_packed_edges_per_s=round(e_dir / t_pk, 1) if on_tpu else None,
+        model_fwd_fused_ms=round(t_fu * 1e3, 2) if on_tpu else None,
+        model_fwd_fused_edges_per_s=round(e_dir / t_fu, 1) if on_tpu else None,
         n=n, directed_edges=e_dir,
     )
 

@@ -79,6 +79,27 @@ def test_packed_forward_bf16_activations(rng):
     _q_close(q_pk, q_ref, tol=5e-2)
 
 
+@pytest.mark.parametrize("act_dtype", ["float32", "bfloat16"])
+def test_packed_forward_fused_sage(rng, act_dtype):
+    """fuse_sage=True (aggregation + merged dense layer + relu + l2n in one
+    kernel pass) == the XLA dense-band forward, within bf16-dot rounding
+    (the fused path pre-merges W1@W3 / W2@W3 in f32, so intermediate
+    rounding differs from the two-matmul unfused order)."""
+    dt = jnp.float32 if act_dtype == "float32" else jnp.bfloat16
+    banded, _ = _small_banded(rng)
+    pks = pack_duplex(banded)
+    params = init_params(jax.random.PRNGKey(0))
+    covered = jnp.asarray(
+        (rng.random(banded.pad_n) < 0.1) | ~np.asarray(banded.node_mask)
+    )
+    q_ref = banded_test_forward(params, banded, covered, precise=True)
+    q_fused = banded_test_forward_packed(
+        params, banded, pks, covered, act_dtype=dt, interpret=True,
+        fuse_sage=True,
+    )
+    _q_close(q_fused, q_ref, tol=5e-2 if act_dtype == "bfloat16" else 2e-2)
+
+
 def test_packed_sever_consistency(rng):
     """apply_severs_packed keeps forwards equal after band + overflow severs."""
     banded, ordered = _small_banded(rng)
