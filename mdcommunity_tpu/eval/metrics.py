@@ -313,18 +313,28 @@ def dismantle_greedy_banded(
 
     def apply(banded, layer, ns):
         nonlocal pks
-        k = pad_pow2(len(ns))
-        s = np.zeros(k, np.int32)
-        d = np.zeros(k, np.int32)
-        v = np.zeros(k, bool)
-        s[: len(ns)] = ns[:, 0]
-        d[: len(ns)] = ns[:, 1]
-        v[: len(ns)] = True
-        s, d, v = jnp.asarray(s), jnp.asarray(d), jnp.asarray(v)
-        if packed:
-            banded, pks = sever_fn_pk(banded, pks, layer, s, d, v)
-            return banded
-        return sever_fn(banded, layer, s, d, v)
+        # CHUNK large sever batches: sever_edges' overflow matching
+        # materializes an O(E_ov x K) pairwise bool matrix, and the t=0
+        # cascade of a 10^6-node duplex can sever 10^5+ edges at once — one
+        # unchunked call allocated multiple GB and crashed the TPU worker
+        # (observed at the 1M-node demo).  8192-edge chunks bound the match
+        # to E_ov x 8192 while keeping the jit shape pool small.
+        CHUNK = 8192
+        for c0 in range(0, len(ns), CHUNK):
+            part = ns[c0 : c0 + CHUNK]
+            k = pad_pow2(len(part))
+            s = np.zeros(k, np.int32)
+            d = np.zeros(k, np.int32)
+            v = np.zeros(k, bool)
+            s[: len(part)] = part[:, 0]
+            d[: len(part)] = part[:, 1]
+            v[: len(part)] = True
+            s, d, v = jnp.asarray(s), jnp.asarray(d), jnp.asarray(v)
+            if packed:
+                banded, pks = sever_fn_pk(banded, pks, layer, s, d, v)
+            else:
+                banded = sever_fn(banded, layer, s, d, v)
+        return banded
 
     # sync the band with any edges the env has already severed (the t=0
     # cascade usually severs some — the two layers' partitions rarely agree)
