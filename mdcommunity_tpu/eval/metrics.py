@@ -317,9 +317,12 @@ def dismantle_greedy_banded(
         # materializes an O(E_ov x K) pairwise bool matrix, and the t=0
         # cascade of a 10^6-node duplex can sever 10^5+ edges at once — one
         # unchunked call allocated multiple GB and crashed the TPU worker
-        # (observed at the 1M-node demo).  8192-edge chunks bound the match
-        # to E_ov x 8192 while keeping the jit shape pool small.
-        CHUNK = 8192
+        # (observed at the 1M-node demo).  The chunk adapts to the overflow
+        # size (mirror + spill edges) so the match stays <= ~2^27 elements
+        # even for badly-banded graphs where E_spill itself is 10^5+.
+        dbg_l = banded.dbg(layer)
+        e_ov = int(dbg_l.w_cov.shape[0]) + int(dbg_l.w_spill.shape[0])
+        CHUNK = max(64, min(8192, (1 << 27) // max(e_ov, 1)))
         for c0 in range(0, len(ns), CHUNK):
             part = ns[c0 : c0 + CHUNK]
             k = pad_pow2(len(part))
