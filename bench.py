@@ -31,6 +31,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -212,6 +213,20 @@ def _measure(e, n=1 << 20, dim=64, S=256, B=128, G=8, Ks=(8, 40), seed=0):
 
     k0, k1 = Ks[0], Ks[-1]
     t_meas_iter = (med[k1] - med[k0]) / (k1 - k0)
+    if t_meas_iter <= 0:
+        # host timing noise can only produce a non-positive K-slope when the
+        # chain time is not execution-bound; a negative edges/s in the
+        # required JSON line would be garbage — emit the error marker
+        # instead (same convention as the watchdog; ADVICE r3)
+        print(json.dumps({
+            "metric": "spmm_fwdbwd_edges_per_s_per_chip",
+            "value": 0,
+            "unit": "edges/s",
+            "vs_baseline": 0,
+            "error": f"non-positive K-slope ({t_meas_iter:.2e}s/iter): "
+                     f"chain medians {med}",
+        }))
+        sys.exit(1)
     meter = ThroughputMeter("edges")
     meter.add(e2 * (k1 - k0), med[k1] - med[k0])
 

@@ -147,6 +147,40 @@ class HostDuplexEnv:
     def terminal(self) -> bool:
         return not (self.alive_edge[0].any() and self.alive_edge[1].any())
 
+    def step_many(
+        self, actions: np.ndarray, degree_cost: bool = False
+    ) -> Tuple[int, List[np.ndarray], int]:
+        """Batched removal with ONE cascade — same contract as
+        NativeDuplexEnv.step_many: the final covered/rank/terminal state
+        and the sever mask over live-relevant edges exactly equal
+        sequential stepping (the MCC fixed point after removing a set is
+        order-independent); curve/score take the post-batch rank for every
+        removed node (AUDC bias ≤ batch/n over a dismantling).  Skips
+        covered entries; returns (rank, new severs per layer, n_removed)."""
+        acts = np.asarray(actions, np.int64).reshape(-1)
+        acts = acts[(acts >= 0) & (acts < self.n)]
+        acts = acts[~self.covered[acts]]
+        acts = np.unique(acts)
+        if not len(acts):
+            return self.rank, [np.zeros((0, 2), np.int64)] * 2, 0
+        self.covered[acts] = True
+        self._refresh_alive(0)
+        self._refresh_alive(1)
+        self.rank, new_sev = self._cascade()
+        norm = self.rank / max(self.max_rank, 1)
+        for a in acts:
+            if degree_cost:
+                cost = 0.5 * (
+                    self.weights[0, a] / self.wsum[0]
+                    + self.weights[1, a] / self.wsum[1]
+                )
+                self.score += norm * cost
+            else:
+                self.score += norm / self.n
+            self.curve.append(norm)
+        self.t += len(acts)
+        return self.rank, new_sev, len(acts)
+
     def step(
         self, a: int, degree_cost: bool = False
     ) -> Tuple[int, List[np.ndarray]]:

@@ -26,6 +26,19 @@ from mdcommunity_tpu.graphs.duplex import DuplexGraph, stack_graphs
 from mdcommunity_tpu.rl.dqn import predict_q
 
 
+def _prec_ctx(precise: bool):
+    """f32 matmul precision for quality-critical eval forwards (trace-time
+    setting: applies to the dense layers traced inside the jitted q fns;
+    the aggregation engines take their own `precise` operand-dtype flag)."""
+    import contextlib
+
+    return (
+        jax.default_matmul_precision("highest")
+        if precise
+        else contextlib.nullcontext()
+    )
+
+
 def dismantle_greedy(
     params,
     g: DuplexGraph,
@@ -212,10 +225,11 @@ def dismantle_greedy_banded(
     env,
     step: int = 1,
     variant: str = "unit_cost",
-    precise: bool = False,
+    precise: bool = True,
     max_steps: Optional[int] = None,
     packed: bool = False,
     hca_data=None,
+    batch_env: bool = False,
 ) -> Tuple[List[int], float, List[float]]:
     """Greedy Q rollout on a large BandedDuplex with a HostDuplexEnv.
 
@@ -227,6 +241,23 @@ def dismantle_greedy_banded(
     variant="hca" requires hca_data (models/hca_banded.HcaBandData in banded
     node order) and routes through banded_hca_forward — the segment-sum
     community path that replaces the O(N²) dense HCA inputs.
+
+    batch_env=True amortizes the host cascade across each StepRatio batch
+    (env.step_many: ONE cascade per `step` removals instead of per node) —
+    the 10^6-node enabler, since per-removal cascades make a full
+    dismantling Θ(N²) in host time.  Final state is exactly the sequential
+    result; the curve takes the post-batch rank for each node in a batch,
+    biasing AUDC by at most step/n (see host_env.step_many).
+
+    precise (default True): every matmul of the Q forward runs in true f32
+    (aggregation operands f32 + jax.default_matmul_precision('highest') for
+    the dense layers) — matching the reference's f32 GPU eval.  Greedy
+    dismantling quality is measurably sensitive to eval-path Q rounding:
+    the default bf16 MXU passes give each engine ~8-10% of the Q RANGE in
+    rounding error at N=18k (different per engine — round 3's committed
+    0.129-packed vs 0.109-XLA AUDC band on the identical graph was exactly
+    this), while under f32 the two engines agree to 3e-6.  precise=False
+    restores the bf16 fast path for throughput-bound uses.
     Returns (solution in BANDED ids, score = AUDC, curve)."""
     import functools
 
@@ -246,17 +277,14 @@ def dismantle_greedy_banded(
 
         @functools.partial(jax.jit, static_argnames=("k", "precise"))
         def qfn_hca(params, banded, hd, covered, k, precise=False):
-            q = banded_hca_forward(params, banded, hd, covered, precise=precise)
+            with _prec_ctx(precise):
+                q = banded_hca_forward(
+                    params, banded, hd, covered, precise=precise
+                )
             return jax.lax.top_k(q, k)
 
         sever_fn = jax.jit(apply_severs, static_argnames=("layer",))
     elif packed:
-        if precise:
-            raise ValueError(
-                "precise=True is the f32 XLA engine's knob; the packed "
-                "Pallas engine always runs bf16 dots — use packed=False "
-                "for an f32 reference"
-            )
         from mdcommunity_tpu.graphs.banded import (
             apply_severs_packed,
             pack_duplex,
@@ -276,14 +304,16 @@ def dismantle_greedy_banded(
         # of the full [pad_n] Q vector (4 MB at 2^20 nodes, ~30 ms tunnel
         # RTT) + a host argsort per removal
         @functools.partial(
-            jax.jit, static_argnames=("variant", "k", "interpret", "fuse")
+            jax.jit,
+            static_argnames=("variant", "k", "interpret", "fuse", "precise"),
         )
         def qfn_pk(params, banded, pks, covered, variant, k, interpret=None,
-                   fuse=False):
-            q = banded_test_forward_packed(
-                params, banded, pks, covered, variant=variant,
-                interpret=interpret, fuse_sage=fuse,
-            )
+                   fuse=False, precise=False):
+            with _prec_ctx(precise):
+                q = banded_test_forward_packed(
+                    params, banded, pks, covered, variant=variant,
+                    interpret=interpret, fuse_sage=fuse, precise=precise,
+                )
             return jax.lax.top_k(q, k)
 
         sever_fn_pk = jax.jit(apply_severs_packed, static_argnames=("layer",))
@@ -293,9 +323,10 @@ def dismantle_greedy_banded(
             jax.jit, static_argnames=("variant", "k", "precise")
         )
         def qfn(params, banded, covered, variant, k, precise=False):
-            q = banded_test_forward(
-                params, banded, covered, variant=variant, precise=precise
-            )
+            with _prec_ctx(precise):
+                q = banded_test_forward(
+                    params, banded, covered, variant=variant, precise=precise
+                )
             return jax.lax.top_k(q, k)
 
         sever_fn = jax.jit(apply_severs, static_argnames=("layer",))
@@ -322,7 +353,10 @@ def dismantle_greedy_banded(
         # even for badly-banded graphs where E_spill itself is 10^5+.
         dbg_l = banded.dbg(layer)
         e_ov = int(dbg_l.w_cov.shape[0]) + int(dbg_l.w_spill.shape[0])
-        CHUNK = max(64, min(8192, (1 << 27) // max(e_ov, 1)))
+        # no floor above 1: a 64-row floor would re-admit >2^27-element
+        # matches for e_ov > 2^21 (ADVICE r3) — pathological graphs just pay
+        # more sever calls instead
+        CHUNK = max(1, min(8192, (1 << 27) // max(e_ov, 1)))
         for c0 in range(0, len(ns), CHUNK):
             part = ns[c0 : c0 + CHUNK]
             k = pad_pow2(len(part))
@@ -362,7 +396,7 @@ def dismantle_greedy_banded(
         elif packed:
             vals, order = qfn_pk(
                 params, banded, pks, covered_dev, variant=variant, k=step,
-                fuse=fuse,
+                fuse=fuse, precise=precise,
             )
         else:
             vals, order = qfn(
@@ -370,6 +404,23 @@ def dismantle_greedy_banded(
                 precise=precise,
             )
         vals, order = np.asarray(vals), np.asarray(order)
+        if batch_env and step > 1:
+            # ONE cascade for the whole StepRatio batch (see docstring);
+            # keep the valid PREFIX of the top-k, like the sequential loop
+            ok = np.isfinite(vals) & ~env.covered[order]
+            cut = int(np.argmin(ok)) if not ok.all() else len(ok)
+            acts = order[:cut][: max_steps - len(sol)]
+            if len(acts) == 0:
+                break
+            _, new_sev, removed = env.step_many(
+                acts, degree_cost=(variant == "degree_cost")
+            )
+            sol.extend(int(a) for a in acts)
+            covered_dev = cover_one(covered_dev, jnp.asarray(acts))
+            for layer in range(2):
+                if len(new_sev[layer]):
+                    banded = apply(banded, layer, new_sev[layer])
+            continue
         for v, a in zip(vals, order):
             if env.terminal or len(sol) >= max_steps:
                 break

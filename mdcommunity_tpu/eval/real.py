@@ -32,6 +32,8 @@ def evaluate_real(
     n_nodes: Optional[int] = None,
     blocked_threshold: int = 4096,
     packed: bool = False,
+    precise: bool = True,
+    batch_env: bool = False,
 ) -> Tuple[list, float, float]:
     """Dismantle one real dataset; returns (solution, solve_time, score).
 
@@ -115,7 +117,7 @@ def evaluate_real(
         t0 = time.time()
         sol, score, curve = dismantle_greedy_banded(
             params, banded, env, step=step, variant=variant, packed=packed,
-            hca_data=hca_data,
+            hca_data=hca_data, precise=precise, batch_env=batch_env,
         )
         solve_time = time.time() - t0
         sol = [int(perm[v]) for v in sol]  # back to original node ids

@@ -111,6 +111,8 @@ def banded_test_forward_packed(
     interpret: bool = None,
     mesh=None,
     fuse_sage: bool = False,
+    f32_epi: bool = True,
+    precise: bool = False,
 ) -> jnp.ndarray:
     """Q(s, ·) over all nodes of a BandedDuplex via the packed engine: [N];
     dead nodes -inf.  pks = (pack_band(bdx.dbg0), pack_band(bdx.dbg1)).
@@ -137,6 +139,8 @@ def banded_test_forward_packed(
     virtual-node pool, maxdeg, aux counters, the layer gate — become
     all-reduces).  Shard the operands first: graphs.banded.shard_banded_duplex
     + parallel.band_partition.shard_packed_band, covered over 'gp'."""
+    if precise and act_dtype != jnp.float32:
+        raise ValueError("precise=True requires act_dtype=float32")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     inputs = _banded_inputs(bdx, covered, variant, mesh=mesh)
@@ -187,7 +191,7 @@ def banded_test_forward_packed(
             if fuse_sage:
                 h2 = sage_step_packed(
                     pks[l], bdx.dbg(l), live, live, h2, sage_A, sage_B,
-                    interpret,
+                    interpret, f32_epi=f32_epi, precise=precise,
                 )
             else:
                 if mesh is not None:
@@ -202,7 +206,7 @@ def banded_test_forward_packed(
                 else:
                     pool2 = spmm_band_packed(
                         pks[l], bdx.dbg(l), live, live, h2.astype(act_dtype),
-                        interpret,
+                        interpret, precise=precise,
                     ).astype(jnp.float32)
                 cat2 = _cat_packed(pool2 @ c1_2, h2 @ c2_2)
                 h2 = _l2n_packed(jax.nn.relu(cat2 @ c3_2))

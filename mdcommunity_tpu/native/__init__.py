@@ -50,6 +50,8 @@ def load() -> Optional[ctypes.CDLL]:
     lib.mdc_env_reset.argtypes = [p]
     lib.mdc_env_step.restype = i64
     lib.mdc_env_step.argtypes = [p, i64, i32]
+    lib.mdc_env_step_many.restype = i64
+    lib.mdc_env_step_many.argtypes = [p, p, i64, i32]
     for name in ("mdc_env_rank", "mdc_env_max_rank", "mdc_env_t",
                  "mdc_env_curve_len"):
         fn = getattr(lib, name)
@@ -164,6 +166,29 @@ class NativeDuplexEnv:
         )
         self.covered[a] = True
         return rank, self._new_sever()
+
+    def step_many(
+        self, actions: np.ndarray, degree_cost: bool = False
+    ) -> Tuple[int, List[np.ndarray], int]:
+        """Batched removal with ONE cascade (StepRatio amortization for the
+        10^6-node path).  The final covered/rank/terminal state and the
+        sever mask over live-relevant edges (both endpoints uncovered)
+        exactly equal sequential stepping — the MCC fixed point after
+        removing a set is order-independent; an edge severed mid-sequence
+        whose endpoint is covered later stays merely dead here, which the
+        liveness scales treat identically.  The curve/score take the
+        post-batch rank for every node in the batch — AUDC bias bounded by
+        batch_size/n over a full dismantling.  Skips covered entries.
+        Returns (rank, new severed edges per layer, n_removed)."""
+        acts = np.ascontiguousarray(np.asarray(actions, np.int64).reshape(-1))
+        removed = int(
+            self._lib.mdc_env_step_many(
+                self._handle, _ptr(acts), len(acts), int(degree_cost)
+            )
+        )
+        valid = (acts >= 0) & (acts < self.n)
+        self.covered[acts[valid]] = True
+        return self.rank, self._new_sever(), removed
 
     def _new_sever(self) -> List[np.ndarray]:
         out = []

@@ -236,6 +236,58 @@ struct DuplexEnv {
     return rank;
   }
 
+  // Batched removal: cover up to k nodes, run ONE cascade, append the
+  // post-batch norm once per removed node.  Already-covered / out-of-range
+  // entries are skipped.  Returns the number of nodes actually removed.
+  //
+  // Approximation contract (the StepRatio amortization the 10^6-node path
+  // needs — per-removal cascades make a full dismantling Θ(N²)): the FINAL
+  // state (covered set, severed set, rank, terminal) is EXACTLY the
+  // sequential result — the MCC fixed point after removing a set is
+  // order-independent because components only ever split — but the k curve
+  // entries all take the post-batch rank, so the score contribution of the
+  // batch is underestimated by at most k·(rank_pre − rank_post)/(max_rank·n);
+  // summed over a whole dismantling the bias is ≤ k/n (one part per
+  // thousand at StepRatio 0.001).
+  int64_t step_many(const int64_t* actions, int64_t k, bool degree_cost) {
+    int64_t removed = 0;
+    static thread_local std::vector<int32_t> done;
+    done.clear();
+    for (int64_t j = 0; j < k; ++j) {
+      if (actions[j] < 0 || actions[j] >= n) continue;
+      int32_t a = (int32_t)actions[j];
+      if (covered[a]) continue;
+      covered[a] = 1;
+      done.push_back(a);
+      for (int l = 0; l < 2; ++l) {
+        Layer& L = layers[l];
+        for (int64_t e = L.inc_ptr[a]; e < L.inc_ptr[a + 1]; ++e) {
+          int64_t i = L.inc_ids[e];
+          if (L.alive[i]) {
+            L.alive[i] = 0;
+            --L.alive_count;
+          }
+        }
+      }
+      ++removed;
+    }
+    if (!removed) return 0;
+    cascade();
+    double norm = (double)rank / (double)std::max<int64_t>(max_rank, 1);
+    for (int32_t a : done) {
+      if (degree_cost) {
+        double cost =
+            0.5 * (weights[a] / wsum[0] + weights[n + a] / wsum[1]);
+        score += norm * cost;
+      } else {
+        score += norm / (double)n;
+      }
+      curve.push_back(norm);
+    }
+    t += removed;
+    return removed;
+  }
+
   bool terminal() const {
     return !(layers[0].alive_count > 0 && layers[1].alive_count > 0);
   }
@@ -319,6 +371,13 @@ void mdc_env_reset(void* p) { ((DuplexEnv*)p)->reset(); }
 
 int64_t mdc_env_step(void* p, int64_t a, int32_t degree_cost) {
   return ((DuplexEnv*)p)->step((int32_t)a, degree_cost != 0);
+}
+
+// Batched removal (StepRatio amortization): ONE cascade for k removals.
+// Returns the number of nodes actually removed (skips covered/oob).
+int64_t mdc_env_step_many(void* p, const int64_t* actions, int64_t k,
+                          int32_t degree_cost) {
+  return ((DuplexEnv*)p)->step_many(actions, k, degree_cost != 0);
 }
 
 int64_t mdc_env_rank(void* p) { return ((DuplexEnv*)p)->rank; }

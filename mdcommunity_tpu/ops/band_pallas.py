@@ -219,21 +219,31 @@ def sever_edges_packed(pk: PackedBand, dbg: DenseBandGraph, src, dst, valid):
     par = jnp.where(ib, jnp.remainder(lr, 2), 0)
     sr = jnp.where(ib, lr // 2, 0)
     if pk.nibble:
-        # byte lc//2 holds (even nibble, odd nibble*16): clear only the
-        # severed column's nibble by SUBTRACTING its current value — an
-        # additive scatter, so two severs landing in the same byte (adjacent
-        # window columns) compose correctly where a .set would drop one.
-        # Safe because a directed edge is severed at most once (the env
-        # reports newly-severed edges only; re-severs find the nibble
-        # already 0 and subtract 0).
+        # byte lc//2 holds (even nibble, odd nibble*16).  Clear the severed
+        # column's nibble in TWO parity passes, each gather-then-SET: a byte
+        # cell addresses exactly one directed-edge slot per column parity, so
+        # within a pass every scatter hitting the same cell is the same
+        # directed edge computing the same new value — .set is idempotent
+        # under duplicates (an additive clear would double-subtract a
+        # duplicated edge, driving the byte negative and corrupting BOTH
+        # nibbles on the div/mod unpack; ADVICE r3).  The odd pass gathers
+        # from the even pass's result, so mixed clears of one byte compose.
         bc = jnp.where(ib, lc // 2, 0)
-        old = pk.base_pk[sb, par, sr, bc].astype(jnp.int32)
-        odd_nib = old // 16
-        even_nib = old - 16 * odd_nib
-        zero_even = jnp.remainder(lc, 2) == 0
-        delta = jnp.where(zero_even, even_nib, 16 * odd_nib)
-        delta = jnp.where(ib, delta, 0).astype(jnp.int8)
-        base_pk = pk.base_pk.at[sb, par, sr, bc].add(-delta)
+        is_even = jnp.remainder(lc, 2) == 0
+        base_pk = pk.base_pk
+
+        for parity_even in (True, False):
+            sel = ib & (is_even == parity_even)
+            # deselected entries scatter OUT OF BOUNDS (block index nb) and
+            # are dropped by JAX's default scatter mode — routing them to a
+            # real cell would race valid clears of that cell under .set
+            sbp = jnp.where(sel, sb, pk.nb)
+            old = base_pk[jnp.where(sel, sb, 0), par, sr, bc].astype(jnp.int32)
+            odd_nib = old // 16
+            cleared = odd_nib * 16 if parity_even else old - 16 * odd_nib
+            base_pk = base_pk.at[sbp, par, sr, bc].set(
+                cleared.astype(jnp.int8)
+            )
         return dataclasses.replace(pk, base_pk=base_pk), new_dbg
     sc = jnp.where(ib, lc // 2 + jnp.remainder(lc, 2) * Wh, 0)
     keep = pk.base_pk[sb, par, sr, sc]
@@ -247,10 +257,19 @@ def sever_edges_packed(pk: PackedBand, dbg: DenseBandGraph, src, dst, valid):
 
 @functools.lru_cache(maxsize=32)
 def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
-                 halo=False, nibble=False, sage=False):
+                 halo=False, nibble=False, sage=False, f32_epi=True,
+                 precise=False):
     """dtype: h2/out storage dtype (f32 default; bf16 halves the h-window
     and output HBM traffic — the dots already run bf16 with f32 accumulation,
     so only the stored activations round).
+
+    precise=True keeps ALL dot operands f32 (band contraction, mirror
+    expansion, sage epilogue) — the packed engine's parity mode against the
+    f32 XLA engine.  The MXU runs more passes but the kernel is DMA-bound
+    (tune.log: nodot == full), so the cost is small; greedy dismantling
+    quality is measurably sensitive to eval-path Q rounding at 10^4+
+    sequential argmax picks (round-3 demo: bf16-dot engines at AUDC
+    0.109-0.129 band on the same graph).
 
     halo=True is the SHARDED form (parallel/band_partition.py): nb is the
     LOCAL block count of one shard, h2 covers only local rows, and two extra
@@ -490,17 +509,18 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
             co = jnp.sum(jnp.where(mo[:rows], t, zero), axis=1, keepdims=True)
             return ce, co
 
+        dot_t = jnp.float32 if precise else jnp.bfloat16
         for g in range(G):  # static unroll
             w2 = win[slot, pl.ds(g * Sh, Wh), :]  # [Wh, 2D] storage dtype
             if diag == "noscale":
-                lo = w2[:, :D].astype(jnp.bfloat16)
-                hi = w2[:, D:].astype(jnp.bfloat16)
+                lo = w2[:, :D].astype(dot_t)
+                hi = w2[:, D:].astype(dot_t)
                 re_ = ro = None
             else:
                 ce, co = cols(colw_ref[0, pl.ds(g * SR, W2 // 128), :], Wh)
                 re_, ro = cols(roww_ref[0, pl.ds(g * SR, SR), :], Sh)
-                lo = (w2[:, :D].astype(jnp.float32) * ce).astype(jnp.bfloat16)
-                hi = (w2[:, D:].astype(jnp.float32) * co).astype(jnp.bfloat16)
+                lo = (w2[:, :D].astype(jnp.float32) * ce).astype(dot_t)
+                hi = (w2[:, D:].astype(jnp.float32) * co).astype(dot_t)
 
             def contract2():
                 # par-stacked: both destination parities share lo/hi, so one
@@ -520,19 +540,19 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
                     # int4).  int8 storage remains the production default.
                     blk = base_ref[g].reshape(2 * Sh, Wh).astype(jnp.int32)
                     bo_i = blk // 16
-                    be = (blk - 16 * bo_i).astype(jnp.bfloat16)
-                    bo = bo_i.astype(jnp.bfloat16)
+                    be = (blk - 16 * bo_i).astype(dot_t)
+                    bo = bo_i.astype(dot_t)
                 else:
                     blk = base_ref[g].reshape(2 * Sh, W2)  # [2Sh, W2] int8
-                    be = blk[:, :Wh].astype(jnp.bfloat16)
-                    bo = blk[:, Wh:].astype(jnp.bfloat16)
+                    be = blk[:, :Wh].astype(dot_t)
+                    bo = blk[:, Wh:].astype(dot_t)
                 acc = jax.lax.dot(
                     be, lo, preferred_element_type=jnp.float32
                 ) + jax.lax.dot(bo, hi, preferred_element_type=jnp.float32)
                 if Cp:  # mirror expansion: + G^T @ sub
                     acc = acc + jax.lax.dot(
-                        geT_ref[g].reshape(2 * Sh, Cp).astype(jnp.bfloat16),
-                        sub_ref[g].astype(jnp.bfloat16),
+                        geT_ref[g].reshape(2 * Sh, Cp).astype(dot_t),
+                        sub_ref[g].astype(dot_t),
                         preferred_element_type=jnp.float32,
                     )
                 return acc
@@ -559,17 +579,26 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
                 # (concat-matmul algebra), precomputed by the caller.
                 acc = contract2()
                 own = win[slot, pl.ds(g * Sh + B // 2, Sh), :]
-                ab = sageA_ref[...].astype(jnp.bfloat16)
-                bb = sageB_ref[...].astype(jnp.bfloat16)
+                # f32_epi (default): the epilogue dense-layer dots run with
+                # f32 operands so the fused path matches the unfused
+                # packed/XLA engines' f32 dense layers — bf16 epilogue dots
+                # cost ~1% Q rounding, which over ~10^4 sequential greedy
+                # argmax picks measurably degrades dismantling AUDC
+                # (results_tpu/chip_r03/large_demo_r03.jsonl: 0.129 packed
+                # vs 0.109 XLA).  The kernel is DMA-bound (tune.log: nodot
+                # == full), so the extra MXU passes are hidden.
+                epi_t = jnp.float32 if f32_epi else jnp.bfloat16
+                ab = sageA_ref[...].astype(epi_t)
+                bb = sageB_ref[...].astype(epi_t)
                 for half, pool in ((0, acc[:Sh] * re_), (1, acc[Sh:] * ro)):
                     oh_half = own[:, half * D:(half + 1) * D]
                     z = jnp.maximum(
                         jax.lax.dot(
-                            pool.astype(jnp.bfloat16), ab,
+                            pool.astype(epi_t), ab,
                             preferred_element_type=jnp.float32,
                         )
                         + jax.lax.dot(
-                            oh_half.astype(jnp.bfloat16), bb,
+                            oh_half.astype(epi_t), bb,
                             preferred_element_type=jnp.float32,
                         ),
                         0.0,
@@ -651,7 +680,7 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
     return run
 
 
-def mirror_compact(oh, odd, col_pairs, h2b, D):
+def mirror_compact(oh, odd, col_pairs, h2b, D, precise: bool = False):
     """Mirror compaction in packed layout: col-scaled per-slot rows
     mir[b, c] = col[node(b,c)] * h[node(b,c)].
 
@@ -660,10 +689,11 @@ def mirror_compact(oh, odd, col_pairs, h2b, D):
     h2b [nb, Sh, 2D].  Shared by the single-device prologue (_apply) and the
     sharded local fn (parallel/band_partition._packed_local) so the packed
     mirror layout has exactly one implementation."""
+    ct_t = jnp.float32 if precise else jnp.bfloat16
     mirp = jnp.einsum(
         "bcr,brl->bcl",
-        oh.astype(jnp.bfloat16),
-        h2b.astype(jnp.bfloat16),
+        oh.astype(ct_t),
+        h2b.astype(ct_t),
         preferred_element_type=jnp.float32,
     )
     mir = jnp.where(odd[:, :, None], mirp[:, :, D:], mirp[:, :, :D])
@@ -673,12 +703,13 @@ def mirror_compact(oh, odd, col_pairs, h2b, D):
 
 
 def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
-           diag="full"):
+           diag="full", precise=False):
     """row ⊙ (A @ (col ⊙ h)) in packed layout — one kernel pass."""
     D = h2.shape[1] // 2
     nb, Sh = pk.nb, pk.S // 2
     run = _make_kernel(
-        nb, pk.S, pk.B, pk.Cp, D, pk.G, diag, h2.dtype, nibble=pk.nibble
+        nb, pk.S, pk.B, pk.Cp, D, pk.G, diag, h2.dtype, nibble=pk.nibble,
+        precise=precise,
     )
     # pre-gather per-program scale windows (tiny: ~2x4 MB) so the kernel has
     # zero manual scale DMAs — they ride plain pipelined BlockSpec inputs
@@ -698,7 +729,8 @@ def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
         # prologue: mirror compaction mir = G @ (col ⊙ h), then the tiny
         # mirror-space COO SpMM
         mir = mirror_compact(
-            pk.oh, pk.odd, col.reshape(nb, Sh, 2), h2.reshape(nb, Sh, 2 * D), D
+            pk.oh, pk.odd, col.reshape(nb, Sh, 2), h2.reshape(nb, Sh, 2 * D),
+            D, precise,
         )
         sub = spmm_sorted(pk.ccoo, dbg.w_cov, mir.reshape(nb * pk.Cp, D))
         args += [pk.geT, sub.reshape(nb, pk.Cp, D)]
@@ -709,13 +741,13 @@ def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
     return out2
 
 
-def _make_op(interpret: bool):
+def _make_op(interpret: bool, precise: bool):
     # pk/dbg/row/col ride as regular custom_vjp args with None cotangents
     # (the dense_band._make_spmm pattern) — nondiff_argnums cannot hold
     # array pytrees under jit.
     @jax.custom_vjp
     def op(pk, dbg, row, col, h2):
-        return _apply(pk, dbg, row, col, h2, interpret)
+        return _apply(pk, dbg, row, col, h2, interpret, precise=precise)
 
     def fwd(pk, dbg, row, col, h2):
         return op(pk, dbg, row, col, h2), (pk, dbg, row, col)
@@ -723,17 +755,20 @@ def _make_op(interpret: bool):
     def bwd(res, g2):
         pk, dbg, row, col = res
         # (R·A·C)^T = C·A·R for the symmetric stored operator
-        dh2 = _apply(pk, dbg, col, row, g2, interpret)
+        dh2 = _apply(pk, dbg, col, row, g2, interpret, precise=precise)
         return None, None, None, None, dh2
 
     op.defvjp(fwd, bwd)
     return op
 
 
-_OPS = {False: _make_op(False), True: _make_op(True)}
+_OPS = {
+    (i, p): _make_op(i, p) for i in (False, True) for p in (False, True)
+}
 
 
-def sage_step_packed(pk, dbg, row, col, h2, A, B, interpret: bool = False):
+def sage_step_packed(pk, dbg, row, col, h2, A, B, interpret: bool = False,
+                     f32_epi: bool = True, precise: bool = False):
     """ONE fused GraphSAGE iteration in packed layout:
 
         h' = l2n_half(relu((row ⊙ (Adj @ (col ⊙ h))) @ A + h @ B))
@@ -748,7 +783,13 @@ def sage_step_packed(pk, dbg, row, col, h2, A, B, interpret: bool = False):
     h2 packed [pad_n/2, 2D] in the storage dtype; output same.
     Eval-only (no VJP — training runs the dense path on training sizes).
     Requires an empty spill set (its contribution would have to land before
-    the relu; locality-ordered builds satisfy this)."""
+    the relu; locality-ordered builds satisfy this).
+
+    f32_epi (default True): run the epilogue dense-layer dots with f32
+    operands — matches the unfused engines' f32 XLA dense layers, and the
+    extra MXU passes are hidden behind the HBM streams (the kernel is
+    DMA-bound).  f32_epi=False restores the bf16 epilogue (~1% Q rounding,
+    measurably worse greedy-dismantling AUDC at scale)."""
     if dbg.spill.d_src.shape[0]:
         raise ValueError(
             "sage_step_packed requires an empty spill set (spill adds after "
@@ -758,7 +799,7 @@ def sage_step_packed(pk, dbg, row, col, h2, A, B, interpret: bool = False):
     nb, Sh = pk.nb, pk.S // 2
     run = _make_kernel(
         nb, pk.S, pk.B, pk.Cp, D, pk.G, "full", h2.dtype,
-        nibble=pk.nibble, sage=True,
+        nibble=pk.nibble, sage=True, f32_epi=f32_epi, precise=precise,
     )
     R = pk.pad_n // 128
     n_prog = nb // pk.G
@@ -774,7 +815,8 @@ def sage_step_packed(pk, dbg, row, col, h2, A, B, interpret: bool = False):
     args = [pk.base_pk, h2, colw, roww]
     if pk.Cp:
         mir = mirror_compact(
-            pk.oh, pk.odd, col.reshape(nb, Sh, 2), h2.reshape(nb, Sh, 2 * D), D
+            pk.oh, pk.odd, col.reshape(nb, Sh, 2), h2.reshape(nb, Sh, 2 * D),
+            D, precise,
         )
         sub = spmm_sorted(pk.ccoo, dbg.w_cov, mir.reshape(nb * pk.Cp, D))
         args += [pk.geT, sub.reshape(nb, pk.Cp, D)]
@@ -782,15 +824,18 @@ def sage_step_packed(pk, dbg, row, col, h2, A, B, interpret: bool = False):
     return run(*args, interpret=interpret).reshape(pk.pad_n // 2, 2 * D)
 
 
-def spmm_band_packed(pk, dbg, row, col, h2, interpret: bool = False):
+def spmm_band_packed(pk, dbg, row, col, h2, interpret: bool = False,
+                     precise: bool = False):
     """out2 = pack(row ⊙ ((A * row⊗col-less base) @ (col ⊙ unpack(h2)))) for
     the full stored operator (band + mirror overflow + spill).
 
     h2 packed [pad_n/2, 2D]; row/col per-node f32[pad_n].  Differentiable in
     h2 only (adjacency values are graph constants; backward uses A^T = A).
+    precise=True keeps all dot operands f32 (parity with the f32 XLA
+    engine; the dots are DMA-hidden so it costs little on-chip).
 
     Cascade severs: pk.base_pk is a frozen re-layout of dbg.base — do NOT
     call dense_band.sever_edges alone with this backend (in-band severs would
     be silently dropped while mirror/spill severs apply); use
     sever_edges_packed, which edits both layouts consistently."""
-    return _OPS[bool(interpret)](pk, dbg, row, col, h2)
+    return _OPS[(bool(interpret), bool(precise))](pk, dbg, row, col, h2)

@@ -125,6 +125,7 @@ class PrioritizedNStepReplay(NStepReplay):
         actually hit staleness, i.e. just after a pool regen) and a
         redraw."""
         assert self.count >= batch_size
+        uniform_mask = None
         for _ in range(3):
             total = self.tree.total()
             seg = total / batch_size
@@ -170,9 +171,16 @@ class PrioritizedNStepReplay(NStepReplay):
                         data_idx[~live] = rng.choice(
                             pool, size=int((~live).sum()), replace=True
                         )
+                        uniform_mask = ~live
+                        uniform_prob = 1.0 / pool.size
         self.beta = min(1.0, self.beta + self.beta_increment)
         leaf = self.tree.tree[data_idx + self.capacity - 1]
         prob = np.maximum(leaf / max(total, 1e-12), 1e-12)
+        # replaced positions were drawn UNIFORMLY from the live pool, not by
+        # priority: their IS weight must reflect the uniform draw
+        # probability, not the replacement slot's leaf priority (ADVICE r3)
+        if uniform_mask is not None:
+            prob[uniform_mask] = uniform_prob
         weights = np.power(self.count * prob, -self.beta)
         weights = (weights / weights.max()).astype(np.float32)
         idx = data_idx

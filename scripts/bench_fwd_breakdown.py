@@ -32,7 +32,6 @@ def main():
     from mdcommunity_tpu.ops.dense_band import (
         build_dense_band, live_scales, spmm_dense_band,
     )
-    from scripts.bench_model_level import timed_slope
 
     lg = 19
     n, e = 1 << lg, 1 << (lg + 2)
@@ -85,13 +84,21 @@ def main():
     t_xla = slope(mk_xla, dbg, row, col, h)
     t_pk = slope(mk_pk, pk, dbg, row, col, h2b)
 
+    # model-level totals come from the committed BENCH_MODEL artifact; if it
+    # is absent the fallback constants are STALE r03 measurements — tag the
+    # output so a mixed stale/live attribution is visible (ADVICE r3)
     model = {"model_fwd_ms": 26.39, "model_fwd_packed_ms": 38.95}
-    if os.path.exists("BENCH_MODEL_r03.json"):
-        model.update(json.load(open("BENCH_MODEL_r03.json")))
+    model_source = "fallback_r03_constants"
+    for cand in ("BENCH_MODEL_r04.json", "BENCH_MODEL_r03.json"):
+        if os.path.exists(cand):
+            model.update(json.load(open(cand)))
+            model_source = cand
+            break
     xla_total = model["model_fwd_ms"]
     pk_total = model["model_fwd_packed_ms"]
     out = {
         "metric": "fwd_breakdown",
+        "model_source": model_source,
         "xla_pass_ms": round(t_xla * 1e3, 3),
         "packed_pass_ms": round(t_pk * 1e3, 3),
         "xla_model_ms": xla_total,

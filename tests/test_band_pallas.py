@@ -271,3 +271,119 @@ def test_sever_edges_packed_consistent(rng):
         np.asarray(stale), np.asarray(ref),
         rtol=2e-2, atol=2e-2 * float(jnp.abs(ref).max()),
     )
+
+
+def test_packed_precise_exact(rng):
+    """precise=True keeps every dot operand f32: the packed engine must match
+    the f32 XLA engine to f32 accumulation-order tolerance (NOT the loose
+    bf16 band of the default mode) on a full band+mirror+spill operator."""
+    n, e = 4096, 8192
+    ssym, dsym = _ring_graph(rng, n, e, scale=96.0)
+    dbg = build_dense_band(ssym, dsym, None, n, S=512, B=128, dtype=jnp.int8)
+    assert dbg.ccoo.d_src.shape[0] > 0
+    pk = pack_band(dbg, G=2)
+    covered = jnp.asarray(rng.random(dbg.pad_n) < 0.15)
+    row, col = live_scales(dbg, covered, "mean")
+    h = jnp.asarray(rng.standard_normal((dbg.pad_n, 64)).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        ref = spmm_dense_band(dbg, row, col, h, precise=True)
+        out = unpack_rows(
+            spmm_band_packed(pk, dbg, row, col, pack_rows(h), True, precise=True)
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        rtol=1e-5, atol=1e-5 * float(jnp.abs(ref).max()),
+    )
+    # VJP too (backward reuses the same kernel with swapped scales)
+    with jax.default_matmul_precision("highest"):
+        g_ref = jax.grad(
+            lambda x: jnp.sum(jnp.square(spmm_dense_band(dbg, row, col, x, True)))
+        )(h)
+        g_pk = jax.grad(
+            lambda x2: jnp.sum(jnp.square(
+                spmm_band_packed(pk, dbg, row, col, x2, True, precise=True)
+            ))
+        )(pack_rows(h))
+    np.testing.assert_allclose(
+        np.asarray(unpack_rows(g_pk)), np.asarray(g_ref),
+        rtol=1e-4, atol=1e-4 * float(jnp.abs(g_ref).max()),
+    )
+
+
+def test_model_forward_precise_engines_agree(rng):
+    """The quality fix for round 3's packed-vs-XLA AUDC gap: under
+    precise=True + f32 dense layers, the packed and XLA banded model
+    forwards produce the SAME Q (3e-6 at 18k on chip; tested here at 4k in
+    interpret mode).  The round-3 gap (AUDC 0.129 vs 0.109 on one graph)
+    was eval-path bf16 matmul rounding — different in each engine — not a
+    structural packed bug."""
+    from mdcommunity_tpu.graphs.banded import build_banded_duplex, pack_duplex
+    from mdcommunity_tpu.models.net import banded_test_forward, init_params
+    from mdcommunity_tpu.models.net_packed import banded_test_forward_packed
+
+    n = 1024
+    e = 2048
+    src = rng.integers(0, n, e)
+    off = np.minimum((24.0 * (rng.pareto(2.0, e) + 1)).astype(np.int64), n // 2 - 1)
+    dst = (src + off * rng.choice([-1, 1], e)) % n
+    keep = src != dst
+    e0 = np.stack([src[keep], dst[keep]], 1)
+    src2 = rng.integers(0, n, e)
+    dst2 = (src2 + np.minimum((24.0 * (rng.pareto(2.0, e) + 1)).astype(np.int64), n // 2 - 1) * rng.choice([-1, 1], e)) % n
+    keep2 = src2 != dst2
+    e1 = np.stack([src2[keep2], dst2[keep2]], 1)
+    banded, _, _ = build_banded_duplex(n, e0, e1, S=256, B=128, max_rank=n)
+    pks = pack_duplex(banded)
+    params = init_params(jax.random.PRNGKey(0))
+    covered = np.asarray(rng.random(banded.pad_n) < 0.1)
+    covered[n:] = True
+    covered = jnp.asarray(covered)
+
+    with jax.default_matmul_precision("highest"):
+        qx = banded_test_forward(params, banded, covered, precise=True)
+        qp = banded_test_forward_packed(
+            params, banded, pks, covered, precise=True, interpret=True
+        )
+    a, b = np.asarray(qx), np.asarray(qp)
+    fin = np.isfinite(a) & np.isfinite(b)
+    assert fin.sum() > 100
+    np.testing.assert_allclose(a[fin], b[fin], rtol=2e-4, atol=1e-5)
+    assert int(np.argmax(np.where(fin, a, -np.inf))) == int(
+        np.argmax(np.where(fin, b, -np.inf))
+    )
+
+
+def test_nibble_sever_duplicate_idempotent(rng):
+    """A directed edge duplicated within ONE sever batch must clear its
+    nibble exactly once (ADVICE r3: the old additive clear double-subtracted,
+    driving the byte negative and corrupting both nibbles)."""
+    from mdcommunity_tpu.ops.band_pallas import sever_edges_packed
+    from mdcommunity_tpu.ops.dense_band import sever_edges
+
+    n, e = 2048, 4096
+    ssym, dsym = _ring_graph(rng, n, e)
+    dbg = build_dense_band(ssym, dsym, None, n, S=512, B=128, dtype=jnp.int8)
+    pk = pack_band(dbg, nibble=True)
+
+    # duplicate the same directed edge 3x in the batch, plus its same-byte
+    # neighbour (adjacent even/odd columns), plus an invalid lane
+    s0, d0 = int(ssym[0]), int(dsym[0])
+    a_even = (s0 // 2) * 2
+    sev_s = jnp.asarray(np.asarray([s0, s0, s0, a_even, a_even + 1, 0], np.int32))
+    sev_d = jnp.asarray(np.asarray([d0, d0, d0, d0, d0, 0], np.int32))
+    valid = jnp.asarray(np.asarray([1, 1, 1, 1, 1, 0], bool))
+    pk2, dbg2 = sever_edges_packed(pk, dbg, sev_s, sev_d, valid)
+    dbg_ref = sever_edges(dbg, sev_s, sev_d, valid)
+    np.testing.assert_array_equal(np.asarray(dbg2.base), np.asarray(dbg_ref.base))
+    # nibble layout still decodes to the severed dense base
+    assert int(np.asarray(pk2.base_pk).min()) >= 0
+
+    covered = jnp.asarray(np.zeros(dbg.pad_n, bool))
+    row, col = live_scales(dbg2, covered, "sum")
+    h = jnp.asarray(rng.standard_normal((dbg.pad_n, 64)).astype(np.float32))
+    ref = spmm_dense_band(dbg_ref, row, col, h, precise=True)
+    out = unpack_rows(spmm_band_packed(pk2, dbg2, row, col, pack_rows(h), True))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(ref).max()),
+    )

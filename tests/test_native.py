@@ -110,3 +110,65 @@ def test_gmm_generator_uses_native_above_threshold(rng):
     for e in (e0, e1):
         assert len(e) > 600  # kbar >= 2 -> at least ~n edges
         assert e.max() < 600
+
+
+@pytest.mark.parametrize("engine", ["native", "scipy"])
+def test_step_many_matches_sequential_final_state(rng, engine):
+    """Batched removal (ONE cascade per batch, the 10^6-node StepRatio
+    amortization): the FINAL covered/severed/rank/terminal state must
+    exactly equal sequential stepping — the MCC fixed point after removing
+    a set is order-independent — and the batched score may deviate only
+    within the documented bound (k/n per dismantling, pessimistic side)."""
+    for _ in range(6):
+        n, e0, e1 = _random_duplex(rng, 24, 60)
+        mk = (
+            (lambda: native.NativeDuplexEnv(n, e0, e1))
+            if engine == "native"
+            else (lambda: HostDuplexEnv(n, e0, e1))
+        )
+        seq, bat = mk(), mk()
+        if seq.terminal:
+            continue
+        k = 4
+        while not seq.terminal:
+            cands = np.flatnonzero(~seq.covered)
+            acts = cands[rng.permutation(len(cands))[:k]]
+            new_b = []
+            for a in acts:
+                if seq.terminal:
+                    break
+                seq.step(int(a))
+                new_b.append(int(a))
+            # batch removes the SAME nodes the sequential loop removed
+            if not new_b:
+                break
+            r_b, _, removed = bat.step_many(np.asarray(new_b))
+            assert removed == len(new_b)
+            assert r_b == seq.rank
+            np.testing.assert_array_equal(seq.covered, bat.covered)
+            # sever masks agree on every LIVE-RELEVANT edge (both endpoints
+            # uncovered).  Dead edges may differ: an edge severed mid-batch
+            # whose endpoint is covered later in the same batch stays merely
+            # dead in batched mode — the liveness scales kill it either way
+            for layer in range(2):
+                e = seq.edges[layer]
+                live_rel = ~seq.covered[e[:, 0]] & ~seq.covered[e[:, 1]]
+                np.testing.assert_array_equal(
+                    seq.sever[layer][live_rel], bat.sever[layer][live_rel]
+                )
+            assert seq.terminal == bat.terminal
+        # batched curve takes the post-batch rank: score can only be <= the
+        # sequential score, by at most k/n (+ fp slack)
+        assert bat.score <= seq.score + 1e-9
+        assert seq.score - bat.score <= k / n + 1e-9
+        assert len(bat.curve) == len(seq.curve)
+
+
+def test_step_many_skips_covered_and_oob(rng):
+    n, e0, e1 = _random_duplex(rng, 24, 60)
+    env = native.NativeDuplexEnv(n, e0, e1)
+    a0 = int(np.flatnonzero(~env.covered)[0])
+    env.step(a0)
+    t0 = env.t
+    _, _, removed = env.step_many(np.asarray([a0, -1, n + 5]))
+    assert removed == 0 and env.t == t0
