@@ -23,11 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def synth_duplex_edges(n, avg_deg, rng):
+def synth_duplex_edges(n, avg_deg, rng, shuffle=True):
     """Locality-ordered duplex surrogate: circular power-law offsets per layer
-    (the GMM connection kernel's tail, see bench.py), ids shuffled so the
-    pipeline's RCM reordering does real work."""
-    perm = rng.permutation(n)
+    (the GMM connection kernel's tail, see bench.py).  shuffle=True permutes
+    the ids so the pipeline's RCM reordering does real work; shuffle=False
+    keeps the generator's angular order (a well-banded build, the regime of
+    GMM/real graphs whose natural orderings band cleanly)."""
+    perm = rng.permutation(n) if shuffle else np.arange(n)
     layers = []
     for _ in range(2):
         e = n * avg_deg // 2
@@ -52,6 +54,14 @@ def main():
                     choices=["unit_cost", "degree_cost", "ce", "hca"])
     ap.add_argument("--step-ratio", type=float, default=0.0,
                     help="testReal stepRatio batching (0 = one node/call)")
+    ap.add_argument("--batch-env", action="store_true",
+                    help="ONE host cascade per StepRatio batch "
+                         "(env.step_many; AUDC bias <= step/n)")
+    ap.add_argument("--no-shuffle", action="store_true",
+                    help="keep the generator's angular order (well-banded "
+                         "build; no RCM work, zero/low spill)")
+    ap.add_argument("--fast", action="store_true",
+                    help="bf16 eval forward (precise=False)")
     args = ap.parse_args()
 
     from mdcommunity_tpu.eval.real import evaluate_real
@@ -71,7 +81,9 @@ def main():
     ref_times = {4092: 107.14, 18222: 1582.64}
     rng = np.random.default_rng(0)
     for n in args.sizes:
-        e0, e1 = synth_duplex_edges(n, args.avg_deg, rng)
+        e0, e1 = synth_duplex_edges(
+            n, args.avg_deg, rng, shuffle=not args.no_shuffle
+        )
         path = os.path.join(args.output, f"synthetic_{n}_multiplex.edges")
         with open(path, "w") as f:
             for lid, edges in ((1, e0), (2, e1)):
@@ -83,6 +95,7 @@ def main():
             os.path.join(args.output, "results"),
             n_nodes=n, layers=(1, 2), packed=args.packed,
             variant=args.variant, step_ratio=args.step_ratio,
+            batch_env=args.batch_env, precise=not args.fast,
         )
         print(json.dumps(dict(
             n=n, edges=int(len(e0) + len(e1)), solve_s=round(solve_time, 2),
