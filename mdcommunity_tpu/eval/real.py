@@ -50,6 +50,9 @@ def evaluate_real(
         raise ValueError(f"unknown dataset {dataset}: pass n_nodes and layers")
 
     path = os.path.join(data_path, fname)
+    blocked = n_nodes > blocked_threshold and variant in (
+        "unit_cost", "degree_cost", "ce", "hca",
+    )
     # CE attaches the static community prior at real-data load time (reference
     # _attach_static_comm_prior, CEMultiDismantler/MultiDismantler_torch.py:743
     # — test-time action pruning stays OFF, ACTION_PRUNING_TEST=False :49)
@@ -59,15 +62,18 @@ def evaluate_real(
         path, n_nodes, layers, degree_cost=(variant == "degree_cost"),
         prior_feature=prior_feature, prior_cache_dir=prior_cache_dir,
         hca=(variant == "hca"),
+        # the blocked path computes max_rank host-side (build_banded_duplex's
+        # env); the small-graph device cascade's full-table gathers crash the
+        # TPU worker at 10^6 nodes, so skip it here
+        max_rank=0 if blocked else None,
     )
     g_orig = g  # original-id graph (the blocked path relabels nodes)
 
     perm = None
+    max_rank_out = None
     step = max(int(step_ratio * n_nodes), 1) if step_ratio > 0 else 1
 
-    if n_nodes > blocked_threshold and variant in (
-        "unit_cost", "degree_cost", "ce", "hca",
-    ):
+    if blocked:
         # large nets: RCM-reorder + dense-band aggregation (graphs/banded.py)
         # with the cascade on host (env/host_env.py) — the reference's CPU-env
         # / device-net split, with the device side jitted end-to-end.  HCA
@@ -122,6 +128,7 @@ def evaluate_real(
         solve_time = time.time() - t0
         sol = [int(perm[v]) for v in sol]  # back to original node ids
         g = g_orig
+        max_rank_out = int(banded.max_rank)
     else:
         if packed:
             import sys
@@ -146,7 +153,7 @@ def evaluate_real(
         os.path.join(sub, f"NormalizedLMCC_{tag}.txt"),
         curve,
         n_nodes,
-        int(g.max_rank),
+        max_rank_out if max_rank_out is not None else int(g.max_rank),
         score_mean=score,
         score_std=0.0,
     )

@@ -52,9 +52,12 @@ def duplex_from_layers(
     prior_feature: Optional[str] = None,
     prior_cache: Optional[Tuple[str, str]] = None,
     hca: bool = False,
+    max_rank: Optional[int] = None,
 ) -> DuplexGraph:
     """Two undirected edge arrays -> padded DuplexGraph (reference: Graph_test,
-    graph.py:69-84).
+    graph.py:69-84).  max_rank overrides the device-cascade computation
+    (callers on the blocked large-graph path compute it host-side — the
+    device cascade's full-table gathers crash the worker at 10^6 nodes).
 
     hca=True computes the hierarchical community structure + micro/meso/macro
     features at load (graphs/hca.py; the reference computes these per graph
@@ -102,7 +105,8 @@ def duplex_from_layers(
             )
     return build_duplex(
         n_nodes, edges_a, edges_b, pad_nodes, pad_edges, weights=weights,
-        node_feat=node_feat, boundary=boundary, **comm_kwargs,
+        node_feat=node_feat, boundary=boundary, max_rank=max_rank,
+        **comm_kwargs,
     )
 
 
@@ -114,6 +118,7 @@ def load_real_duplex(
     prior_feature: Optional[str] = None,
     prior_cache_dir: Optional[str] = None,
     hca: bool = False,
+    max_rank: Optional[int] = None,
 ) -> DuplexGraph:
     """Load a real multiplex network and select the two coupled layers."""
     layers = read_multiplex_edges(path, n_nodes)
@@ -129,6 +134,7 @@ def load_real_duplex(
     return duplex_from_layers(
         n_nodes, ea, eb, degree_cost=degree_cost,
         prior_feature=prior_feature, prior_cache=cache, hca=hca,
+        max_rank=max_rank,
     )
 
 

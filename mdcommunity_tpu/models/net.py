@@ -211,20 +211,21 @@ def test_forward(
 
 
 def laplacian_regularizer(
-    h_f: jnp.ndarray, g: DuplexGraph, inputs: BatchInputs
+    h_f: jnp.ndarray, g: DuplexGraph, inputs: BatchInputs, aggregate_fn=None
 ) -> jnp.ndarray:
     """Σ_l 2·tr(HᵀLH)/|E_l| with L = D - A of the live subgraph, summed over the
     batch as one block-diagonal graph (reference: calc_loss,
     MultiDismantler_torch.py:410-431).
 
     tr(HᵀLH) = Σ_v deg_v·||H_v||² - Σ_{(u,v) directed} H_u·H_v.
+    aggregate_fn overrides the edge-list SpMM (banded / sharded engines).
     """
     total = 0.0
     for l in range(2):
         h = h_f[l]                                       # [B, N, D]
         deg = inputs.deg[:, l]                           # [B, N]
         quad = jnp.sum(deg * jnp.sum(h * h, axis=-1))
-        ah = _aggregate(g, inputs, l, h)
+        ah = (aggregate_fn or _aggregate)(g, inputs, l, h)
         cross = jnp.sum(h * ah)
         denom = jnp.maximum(jnp.sum(inputs.n_dir_live[:, l]), 1.0)
         total = total + 2.0 * (quad - cross) / denom
@@ -343,3 +344,58 @@ def banded_test_forward(
         return spmm_dense_band(bdx.dbg(layer), live, live, h[0], precise)[None]
 
     return test_forward(params, None, inputs, max_bp_iter, aggregate_fn=agg)[0]
+
+
+def banded_train_loss(
+    params: Params,
+    bdx,
+    covered: jnp.ndarray,
+    actions: jnp.ndarray,
+    targets: jnp.ndarray,
+    alpha: float = 0.001,
+    variant: str = "unit_cost",
+    max_bp_iter: int = 3,
+    precise: bool = False,
+    mesh=None,
+) -> jnp.ndarray:
+    """DQN loss on ONE large BandedDuplex: MSE(Q[actions], targets) +
+    alpha·Laplacian embedding regularizer — the banded-engine analogue of the
+    reference training loss (calc_loss, MultiDismantler_torch.py:410-431),
+    differentiable in `params` through the band engine.
+
+    mesh: gp-sharded multi-chip training — every aggregation (the three
+    message-passing rounds, the degree passes, and the regularizer's A·H
+    pass) runs through parallel/band_partition.spmm_band_sharded (ppermute
+    halos + mirror all_gather); the scalar loss reduces over the mesh, so
+    jax.grad under the same mesh yields replicated parameter gradients.
+    Verified against the single-device engine in __graft_entry__
+    .dryrun_multichip (grad parity)."""
+    inputs = _banded_inputs(bdx, covered, variant, mesh=mesh)
+    live = ((~covered) & bdx.node_mask).astype(jnp.float32)
+
+    if mesh is not None:
+        from functools import partial as _partial
+
+        from mdcommunity_tpu.parallel.band_partition import spmm_band_sharded
+
+        spmm = _partial(spmm_band_sharded, mesh)
+    else:
+        from mdcommunity_tpu.ops.dense_band import spmm_dense_band as spmm
+
+    def agg(_g, _inputs, layer, h):
+        return spmm(bdx.dbg(layer), live, live, h[0], precise)[None]
+
+    h_f, y_f = _embed(params, None, inputs, max_bp_iter, aggregate_fn=agg)
+    q_layers = []
+    for l in range(2):
+        scal = y_f[l] @ params["cross_product"]          # [1, 1]
+        embed_sa = h_f[l][0, actions] * scal             # [K, D]
+        aux_l = jnp.broadcast_to(
+            inputs.aux[0, l], (actions.shape[0], inputs.aux.shape[-1])
+        )
+        q_layers.append(_q_head(params, embed_sa, aux_l))  # [K]
+    w = _gate(params, y_f)                               # [2, 1]
+    q = w[0] * q_layers[0] + w[1] * q_layers[1]
+    mse = jnp.mean(jnp.square(q - targets))
+    reg = laplacian_regularizer(h_f, None, inputs, aggregate_fn=agg)
+    return mse + alpha * reg
