@@ -268,22 +268,41 @@ def dismantle_greedy_banded(
     if variant == "hca":
         if hca_data is None:
             raise ValueError("variant='hca' requires hca_data")
+        from mdcommunity_tpu.models.hca_banded import (
+            banded_hca_forward,
+            banded_hca_forward_packed,
+        )
+
         if packed:
-            raise ValueError(
-                "the packed engine does not cover the HCA heads; "
-                "use packed=False for variant='hca'"
+            from mdcommunity_tpu.graphs.banded import (
+                apply_severs_packed,
+                pack_duplex,
             )
-        from mdcommunity_tpu.models.hca_banded import banded_hca_forward
 
-        @functools.partial(jax.jit, static_argnames=("k", "precise"))
-        def qfn_hca(params, banded, hd, covered, k, precise=False):
-            with _prec_ctx(precise):
-                q = banded_hca_forward(
-                    params, banded, hd, covered, precise=precise
-                )
-            return jax.lax.top_k(q, k)
+            pks = pack_duplex(banded)
 
-        sever_fn = jax.jit(apply_severs, static_argnames=("layer",))
+            @functools.partial(jax.jit, static_argnames=("k", "precise"))
+            def qfn_hca_pk(params, banded, pks, hd, covered, k, precise=False):
+                with _prec_ctx(precise):
+                    q = banded_hca_forward_packed(
+                        params, banded, pks, hd, covered, precise=precise
+                    )
+                return jax.lax.top_k(q, k)
+
+            sever_fn_pk = jax.jit(
+                apply_severs_packed, static_argnames=("layer",)
+            )
+        else:
+
+            @functools.partial(jax.jit, static_argnames=("k", "precise"))
+            def qfn_hca(params, banded, hd, covered, k, precise=False):
+                with _prec_ctx(precise):
+                    q = banded_hca_forward(
+                        params, banded, hd, covered, precise=precise
+                    )
+                return jax.lax.top_k(q, k)
+
+            sever_fn = jax.jit(apply_severs, static_argnames=("layer",))
     elif packed:
         from mdcommunity_tpu.graphs.banded import (
             apply_severs_packed,
@@ -389,7 +408,12 @@ def dismantle_greedy_banded(
     cover_one = jax.jit(lambda c, a: c.at[a].set(True))
 
     while not env.terminal and len(sol) < max_steps:
-        if variant == "hca":
+        if variant == "hca" and packed:
+            vals, order = qfn_hca_pk(
+                params, banded, pks, hca_data, covered_dev, k=step,
+                precise=precise,
+            )
+        elif variant == "hca":
             vals, order = qfn_hca(
                 params, banded, hca_data, covered_dev, k=step, precise=precise
             )

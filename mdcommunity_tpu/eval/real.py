@@ -106,15 +106,6 @@ def evaluate_real(
                 perm,
                 banded.pad_n,
             )
-            if packed:
-                import sys
-
-                print(
-                    "[evaluate_real] --packed ignored: the packed engine "
-                    "does not cover the HCA heads",
-                    file=sys.stderr,
-                )
-                packed = False
         env = make_host_env(
             n_nodes, oe0, oe1,
             weights=np.asarray(banded.weights)[:, :n_nodes]

@@ -122,3 +122,68 @@ def test_mid_dismantling_parity(setup):
         )
     )
     _check(q_dense, q_banded, perm, n)
+
+
+def test_packed_hca_matches_dense_engine(setup):
+    """banded_hca_forward_packed (Pallas packed engine, packed-layout dense
+    layers) vs banded_hca_forward (XLA band engine) — same operands, precise
+    f32 dots on both sides, so agreement is tight.  Covers intact AND
+    mid-dismantling (covered + severed) states."""
+    from mdcommunity_tpu.graphs.banded import apply_severs_packed, pack_duplex
+    from mdcommunity_tpu.models.hca_banded import banded_hca_forward_packed
+
+    n, e0, e1, g, _banded_small, _perm_small, _hd_small, params = setup
+    # the module fixture's S=64/B=32 band is below the packed kernel's
+    # 128-alignment; rebuild at S=B=128 (same graph, same HCA data path)
+    banded, perm, _ = build_banded_duplex(n, e0, e1, S=128, B=128)
+    hd = make_hca_band_data(
+        np.asarray(g.comm_id)[:, :n],
+        np.asarray(g.n_comms),
+        np.asarray(g.hca_feat)[:n],
+        perm,
+        banded.pad_n,
+    )
+    pks = pack_duplex(banded)
+    rng = np.random.default_rng(5)
+
+    def check(banded_x, pks_x, cov_b):
+        with jax.default_matmul_precision("highest"):
+            q_ref = np.asarray(
+                banded_hca_forward(
+                    params, banded_x, hd, jnp.asarray(cov_b), precise=True
+                )
+            )
+            q_pk = np.asarray(
+                banded_hca_forward_packed(
+                    params, banded_x, pks_x, hd, jnp.asarray(cov_b),
+                    precise=True, interpret=True,
+                )
+            )
+        fin = np.isfinite(q_ref)
+        assert (fin == np.isfinite(q_pk)).all()
+        sel = fin & (q_ref > -1e8)
+        assert ((q_pk > -1e8) == (q_ref > -1e8))[fin].all()
+        np.testing.assert_allclose(q_pk[sel], q_ref[sel], rtol=2e-4, atol=1e-5)
+
+    cov_b = np.zeros(banded.pad_n, bool)
+    cov_b[n:] = True
+    check(banded, pks, cov_b)
+
+    # mid-dismantling: cover some nodes + sever some live edges both ways
+    cov_b2 = cov_b.copy()
+    cov_b2[rng.choice(n, 20, replace=False)] = True
+    inv = np.empty(len(perm), np.int64)
+    inv[perm] = np.arange(len(perm))
+    banded2, pks2 = banded, pks
+    for layer, e in ((0, e0), (1, e1)):
+        pick = rng.choice(len(e), 8, replace=False)
+        s = inv[e[pick, 0]].astype(np.int32)
+        d = inv[e[pick, 1]].astype(np.int32)
+        sp = np.zeros(8, np.int32); dp = np.zeros(8, np.int32)
+        vp = np.ones(8, bool)
+        sp[:], dp[:] = s, d
+        banded2, pks2 = apply_severs_packed(
+            banded2, pks2, layer, jnp.asarray(sp), jnp.asarray(dp),
+            jnp.asarray(vp),
+        )
+    check(banded2, pks2, cov_b2)
