@@ -52,6 +52,13 @@ def ring_powerlaw_edges(n, e, rng, alpha=2.5, scale=8.0):
 # even though the base is stored int8).
 V5E_HBM_BYTES_PER_S = 819e9
 V5E_BF16_FLOPS = 197e12
+# MEASURED practical stream ceiling of this chip (r04 probe,
+# results_tpu/chip_r04/hbm_roof.json): an XLA f32 read+write stream tops out
+# at ~657 GB/s and a minimal Pallas int8 read stream at ~757-811 GB/s — the
+# datasheet 819 is not reachable by any real mixed-stream kernel.  The sol
+# line reports fractions of BOTH roofs; the practical one is what a perfect
+# kernel with this traffic mix could actually hit.
+V5E_HBM_PRACTICAL = 657e9
 
 
 def sol_model(pk, dbg, dim, h_bytes):
@@ -249,6 +256,10 @@ def _measure(e, n=1 << 20, dim=64, S=256, B=128, G=8, Ks=(8, 40), seed=0):
         "bottleneck": "hbm" if t_hbm >= t_mxu else "mxu",
         "achieved_hbm_gbps": round(bytes_iter / t_meas_iter / 1e9, 1),
         "peak_hbm_gbps": round(V5E_HBM_BYTES_PER_S / 1e9, 1),
+        "practical_hbm_gbps": round(V5E_HBM_PRACTICAL / 1e9, 1),
+        "sol_fraction_practical": round(
+            (bytes_iter / t_meas_iter) / V5E_HBM_PRACTICAL, 3
+        ),
         "achieved_tflops": round(flops_iter / t_meas_iter / 1e12, 2),
         "peak_bf16_tflops": round(V5E_BF16_FLOPS / 1e12, 1),
         # traffic composition of one kernel pass: the int8 base vs the bf16

@@ -279,8 +279,10 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
 
     diag is a TIMING-DIAGNOSTIC knob (scripts/tune_band_packed.py --diag):
     "noscale" skips the in-kernel parity scale extraction + multiplies,
-    "nodot" skips the contraction dots (DMA + scales only) — both produce
-    WRONG results and exist only to attribute kernel time."""
+    "nodot" skips the contraction dots (DMA + scales only), "noh"
+    additionally skips the manual h-window DMAs (base/scale/out streams
+    only — isolates the h path's cost) — all produce WRONG results and
+    exist only to attribute kernel time."""
     W2 = S + 2 * B
     Wh = W2 // 2  # packed window rows per block
     Sh = S // 2
@@ -477,15 +479,16 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
         slot = jax.lax.rem(p, 2)
         nxt = jax.lax.rem(p + 1, 2)
 
-        @pl.when(p == 0)
-        def _():
-            start(0, 0)
+        if diag != "noh":
+            @pl.when(p == 0)
+            def _():
+                start(0, 0)
 
-        @pl.when(p + 1 < n_prog)
-        def _():
-            start(p + 1, nxt)
+            @pl.when(p + 1 < n_prog)
+            def _():
+                start(p + 1, nxt)
 
-        wait(p, slot)
+            wait(p, slot)
 
         # parity lane masks: packed row i of a scale window maps to lane
         # 2*(i % 64) (+1 for odd) of its 128-node scale row i // 64
@@ -510,6 +513,32 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
             return ce, co
 
         dot_t = jnp.float32 if precise else jnp.bfloat16
+
+        def col_rows(g):
+            """Scale rows for block g's window.
+
+            halo mode: pre-gathered per-program windows (ppermute-exchanged
+            on the sharded path).  Single-device mode: the FULL scale vector
+            rides as ONE VMEM-resident BlockSpec input (constant index map —
+            Pallas copies it once), and the window rows are sliced in-kernel
+            with modular row arithmetic.  The windowed form cost ~0.5 ms per
+            pass in per-program small DMAs (2 transfers x n_prog of 4-16 KB;
+            r04 probe: noh floor 1.84 ms vs 1.36 ms for the same streams in
+            a minimal kernel)."""
+            if halo:
+                return colw_ref[0, pl.ds(g * SR, W2 // 128), :]
+            start = p * GR + g * SR - BR
+            rows = [
+                colw_ref[pl.ds(jax.lax.rem(start + j + R, R), 1), :]
+                for j in range(SR + 2 * BR)
+            ]
+            return jnp.concatenate(rows, axis=0)
+
+        def row_rows(g):
+            if halo:
+                return roww_ref[0, pl.ds(g * SR, SR), :]
+            return roww_ref[pl.ds(p * GR + g * SR, SR), :]
+
         for g in range(G):  # static unroll
             w2 = win[slot, pl.ds(g * Sh, Wh), :]  # [Wh, 2D] storage dtype
             if diag == "noscale":
@@ -517,8 +546,8 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
                 hi = w2[:, D:].astype(dot_t)
                 re_ = ro = None
             else:
-                ce, co = cols(colw_ref[0, pl.ds(g * SR, W2 // 128), :], Wh)
-                re_, ro = cols(roww_ref[0, pl.ds(g * SR, SR), :], Sh)
+                ce, co = cols(col_rows(g), Wh)
+                re_, ro = cols(row_rows(g), Sh)
                 lo = (w2[:, :D].astype(jnp.float32) * ce).astype(dot_t)
                 hi = (w2[:, D:].astype(jnp.float32) * co).astype(dot_t)
 
@@ -542,13 +571,21 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
                     bo_i = blk // 16
                     be = (blk - 16 * bo_i).astype(dot_t)
                     bo = bo_i.astype(dot_t)
+                    acc = jax.lax.dot(
+                        be, lo, preferred_element_type=jnp.float32
+                    ) + jax.lax.dot(bo, hi, preferred_element_type=jnp.float32)
                 else:
+                    # NOTE r04: merging the two K=Wh dots into one K=W2 dot
+                    # (blk @ vstack(lo, hi)) would fill the MXU better, but
+                    # Mosaic cannot lower the sublane concat of lo (lane
+                    # offset 0) and hi (lane offset 64): "result/input
+                    # offset mismatch on non-concat dimension"
                     blk = base_ref[g].reshape(2 * Sh, W2)  # [2Sh, W2] int8
                     be = blk[:, :Wh].astype(dot_t)
                     bo = blk[:, Wh:].astype(dot_t)
-                acc = jax.lax.dot(
-                    be, lo, preferred_element_type=jnp.float32
-                ) + jax.lax.dot(bo, hi, preferred_element_type=jnp.float32)
+                    acc = jax.lax.dot(
+                        be, lo, preferred_element_type=jnp.float32
+                    ) + jax.lax.dot(bo, hi, preferred_element_type=jnp.float32)
                 if Cp:  # mirror expansion: + G^T @ sub
                     acc = acc + jax.lax.dot(
                         geT_ref[g].reshape(2 * Sh, Cp).astype(dot_t),
@@ -557,7 +594,7 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
                     )
                 return acc
 
-            if diag == "nodot":
+            if diag in ("nodot", "noh"):
                 out2_ref[g, :, :D] = (
                     lo[:Sh].astype(jnp.float32) * re_
                 ).astype(dtype)
@@ -616,19 +653,29 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
                 out2_ref[g, :, :D] = (acc[:Sh] * re_).astype(dtype)
                 out2_ref[g, :, D:] = (acc[Sh:] * ro).astype(dtype)
 
+    if halo:
+        scale_specs = [
+            pl.BlockSpec(  # per-program col-scale window (pre-gathered)
+                (1, WR, 128), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(  # per-program row-scale window
+                (1, GR, 128), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+    else:
+        # full scale vectors, VMEM-resident (constant index map: copied in
+        # once, never refetched) — windows sliced in-kernel
+        scale_specs = [
+            pl.BlockSpec((R, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ]
     in_specs = [
         pl.BlockSpec(
             (G, 2, Sh, Wh if nibble else W2), lambda p: (p, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(memory_space=pl.ANY),  # h2
-        pl.BlockSpec(  # per-program col-scale window (pre-gathered)
-            (1, WR, 128), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(  # per-program row-scale window
-            (1, GR, 128), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
-        ),
-    ]
+    ] + scale_specs
     if halo:
         in_specs += [
             pl.BlockSpec(memory_space=pl.ANY),  # left halo [B/2, 2D]
@@ -673,6 +720,10 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
                 # programs — the lever against per-program overhead) needs
                 # more double-buffered scratch
                 vmem_limit_bytes=100 * 1024 * 1024,
+                # NOT "parallel": the manual h-window double buffer relies on
+                # sequential grid order (slot = p % 2, p+1 prefetch); measured
+                # identical anyway (r04 probe)
+                dimension_semantics=("arbitrary",),
             ),
             interpret=interpret,
         )(*args)
@@ -711,20 +762,10 @@ def _apply(pk: PackedBand, dbg: DenseBandGraph, row, col, h2, interpret,
         nb, pk.S, pk.B, pk.Cp, D, pk.G, diag, h2.dtype, nibble=pk.nibble,
         precise=precise,
     )
-    # pre-gather per-program scale windows (tiny: ~2x4 MB) so the kernel has
-    # zero manual scale DMAs — they ride plain pipelined BlockSpec inputs
+    # full scale vectors as VMEM-resident [R, 128] planes (constant-index
+    # BlockSpec: copied once); window rows are sliced in-kernel
     R = pk.pad_n // 128
-    n_prog = nb // pk.G
-    GR = pk.G * pk.S // 128
-    BR = pk.B // 128
-    WR = GR + 2 * BR
-    colv = col.reshape(R, 128)
-    ci = (
-        jnp.arange(n_prog)[:, None] * GR - BR + jnp.arange(WR)[None, :]
-    ) % R
-    colw = jnp.take(colv, ci, axis=0)            # [n_prog, WR, 128]
-    roww = row.reshape(n_prog, GR, 128)          # no halo on the dst side
-    args = [pk.base_pk, h2, colw, roww]
+    args = [pk.base_pk, h2, col.reshape(R, 128), row.reshape(R, 128)]
     if pk.Cp:
         # prologue: mirror compaction mir = G @ (col ⊙ h), then the tiny
         # mirror-space COO SpMM
@@ -802,17 +843,7 @@ def sage_step_packed(pk, dbg, row, col, h2, A, B, interpret: bool = False,
         nibble=pk.nibble, sage=True, f32_epi=f32_epi, precise=precise,
     )
     R = pk.pad_n // 128
-    n_prog = nb // pk.G
-    GR = pk.G * pk.S // 128
-    BR = pk.B // 128
-    WR = GR + 2 * BR
-    colv = col.reshape(R, 128)
-    ci = (
-        jnp.arange(n_prog)[:, None] * GR - BR + jnp.arange(WR)[None, :]
-    ) % R
-    colw = jnp.take(colv, ci, axis=0)
-    roww = row.reshape(n_prog, GR, 128)
-    args = [pk.base_pk, h2, colw, roww]
+    args = [pk.base_pk, h2, col.reshape(R, 128), row.reshape(R, 128)]
     if pk.Cp:
         mir = mirror_compact(
             pk.oh, pk.odd, col.reshape(nb, Sh, 2), h2.reshape(nb, Sh, 2 * D),

@@ -28,15 +28,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def kslope(fn, Ks=(8, 40)):
+def kslope(fn, args, Ks=(8, 40)):
+    """fn(K) -> jitted chain taking *args (operands MUST be arguments, not
+    closure constants — the tunnel's compile request would embed them)."""
     med = []
     for K in Ks:
         f = fn(K)
-        float(f())
+        float(f(*args))
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            float(f())
+            float(f(*args))
             ts.append(time.perf_counter() - t0)
         med.append(float(np.median(ts)))
     return (med[1] - med[0]) / (Ks[1] - Ks[0])
@@ -65,9 +67,9 @@ def main():
 
                 return jnp.sum(jax.lax.fori_loop(0, K, body, x)[:8])
 
-            return lambda: chain(x0)
+            return chain
 
-        t = kslope(mk)
+        t = kslope(mk, (x0,))
         # one iteration reads + writes the full array
         out[name + "_gbps"] = round(2 * n_el * 4 / t / 1e9, 1)
 
@@ -90,22 +92,23 @@ def main():
     def mk_kernel(diag):
         def mk(K):
             @jax.jit
-            def chain(h2x):
+            def chain(pkx, dbgx, rowx, colx, h2x):
                 def body(i, acc):
-                    o = _apply(pk, dbg, row, col, acc, False, diag=diag)
+                    o = _apply(pkx, dbgx, rowx, colx, acc, False, diag=diag)
                     return (o / jnp.float32(K)).astype(acc.dtype)
 
                 return jnp.sum(
                     jax.lax.fori_loop(0, K, body, h2x).astype(jnp.float32)[:2, :2]
                 )
 
-            return lambda: chain(h2)
+            return chain
 
         return mk
 
-    t_full = kslope(mk_kernel("full"))
-    t_nodot = kslope(mk_kernel("nodot"))
-    t_noscale = kslope(mk_kernel("noscale"))
+    kargs = (pk, dbg, row, col, h2)
+    t_full = kslope(mk_kernel("full"), kargs)
+    t_nodot = kslope(mk_kernel("nodot"), kargs)
+    t_noscale = kslope(mk_kernel("noscale"), kargs)
     base_bytes = pk.base_pk.nbytes
     h_bytes = h2.nbytes  # window reads ~= one full h pass + halos
     outb = h_bytes
@@ -133,9 +136,9 @@ def main():
 
             return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
-        return lambda: chain(basef)
+        return chain
 
-    t_base = kslope(mk_base)
+    t_base = kslope(mk_base, (basef,))
     out["base_readonly_gbps"] = round(basef.nbytes / t_base / 1e9, 1)
 
     print(json.dumps(out))
