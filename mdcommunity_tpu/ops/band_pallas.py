@@ -490,54 +490,54 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
 
             wait(p, slot)
 
-        # parity lane masks: packed row i of a scale window maps to lane
-        # 2*(i % 64) (+1 for odd) of its 128-node scale row i // 64
-        ii = jax.lax.broadcasted_iota(jnp.int32, (Wh, 128), 0)
-        kk = jax.lax.broadcasted_iota(jnp.int32, (Wh, 128), 1)
-        me = kk == 2 * jax.lax.rem(ii, 64)
-        mo = kk == 2 * jax.lax.rem(ii, 64) + 1
-
         def cols(srows, rows):
             """[rows//64, 128] scale rows -> ([rows,1] even, [rows,1] odd).
 
-            Valid because every window start below is 64-packed-row aligned
-            (S%128 == 0 and B%128 == 0 guarantee g*SR / g*Sh starts land on
-            128-node boundaries), so the parity masks me/mo apply from row 0.
+            Packed row i of a scale window maps to lane 2*(i % 64) (+1 for
+            odd) of its 128-node scale row i // 64.  Valid because every
+            window start below is 64-packed-row aligned (S%128 == 0 and
+            B%128 == 0), so the parity masks apply from row 0.
             """
+            ii = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+            me = kk == 2 * jax.lax.rem(ii, 64)
+            mo = kk == 2 * jax.lax.rem(ii, 64) + 1
             t = jnp.broadcast_to(
                 srows[:, None, :], (rows // 64, 64, 128)
             ).reshape(rows, 128)
             zero = jnp.zeros_like(t)
-            ce = jnp.sum(jnp.where(me[:rows], t, zero), axis=1, keepdims=True)
-            co = jnp.sum(jnp.where(mo[:rows], t, zero), axis=1, keepdims=True)
+            ce = jnp.sum(jnp.where(me, t, zero), axis=1, keepdims=True)
+            co = jnp.sum(jnp.where(mo, t, zero), axis=1, keepdims=True)
             return ce, co
 
         dot_t = jnp.float32 if precise else jnp.bfloat16
 
-        def col_rows(g):
-            """Scale rows for block g's window.
-
-            halo mode: pre-gathered per-program windows (ppermute-exchanged
-            on the sharded path).  Single-device mode: the FULL scale vector
-            rides as ONE VMEM-resident BlockSpec input (constant index map —
-            Pallas copies it once), and the window rows are sliced in-kernel
-            with modular row arithmetic.  The windowed form cost ~0.5 ms per
-            pass in per-program small DMAs (2 transfers x n_prog of 4-16 KB;
-            r04 probe: noh floor 1.84 ms vs 1.36 ms for the same streams in
-            a minimal kernel)."""
+        # scale extraction, hoisted to ONE pass per program (non-halo): the
+        # per-g col windows overlap (each g re-extracted its B-halo rows),
+        # so extracting the program-wide window once and sublane-slicing
+        # per g does ~1.4x less VPU mask/reduce work — which matters because
+        # VMEM-heavy VPU work does NOT hide behind the saturated DMA streams
+        # on v5e (r04 probe; RESULTS "speed-of-light attribution").
+        # Scale vectors ride as VMEM-resident [R, 128] planes (constant
+        # index map — copied once; the per-program pre-gathered windows cost
+        # 2 x n_prog small DMAs).  halo mode keeps its per-program windows.
+        if diag != "noscale":
             if halo:
-                return colw_ref[0, pl.ds(g * SR, W2 // 128), :]
-            start = p * GR + g * SR - BR
-            rows = [
-                colw_ref[pl.ds(jax.lax.rem(start + j + R, R), 1), :]
-                for j in range(SR + 2 * BR)
-            ]
-            return jnp.concatenate(rows, axis=0)
-
-        def row_rows(g):
-            if halo:
-                return roww_ref[0, pl.ds(g * SR, SR), :]
-            return roww_ref[pl.ds(p * GR + g * SR, SR), :]
+                colE, colO = cols(colw_ref[0], WR * 64)
+                rowE, rowO = cols(roww_ref[0], GR * 64)
+            else:
+                start = p * GR - BR
+                prog_rows = jnp.concatenate(
+                    [
+                        colw_ref[pl.ds(jax.lax.rem(start + j + R, R), 1), :]
+                        for j in range(WR)
+                    ],
+                    axis=0,
+                )
+                colE, colO = cols(prog_rows, WR * 64)
+                rowE, rowO = cols(
+                    roww_ref[pl.ds(p * GR, GR), :], GR * 64
+                )
 
         for g in range(G):  # static unroll
             w2 = win[slot, pl.ds(g * Sh, Wh), :]  # [Wh, 2D] storage dtype
@@ -546,8 +546,12 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
                 hi = w2[:, D:].astype(dot_t)
                 re_ = ro = None
             else:
-                ce, co = cols(col_rows(g), Wh)
-                re_, ro = cols(row_rows(g), Sh)
+                # block g's window starts SR*64 = Sh packed rows per block
+                # into the program-wide extraction
+                ce = colE[g * Sh : g * Sh + Wh]
+                co = colO[g * Sh : g * Sh + Wh]
+                re_ = rowE[g * Sh : (g + 1) * Sh]
+                ro = rowO[g * Sh : (g + 1) * Sh]
                 lo = (w2[:, :D].astype(jnp.float32) * ce).astype(dot_t)
                 hi = (w2[:, D:].astype(jnp.float32) * co).astype(dot_t)
 
