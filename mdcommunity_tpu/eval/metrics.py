@@ -407,6 +407,107 @@ def dismantle_greedy_banded(
     )
     cover_one = jax.jit(lambda c, a: c.at[a].set(True))
 
+    def q_dispatch(banded, pks, covered, k):
+        if variant == "hca" and packed:
+            return qfn_hca_pk(
+                params, banded, pks, hca_data, covered, k=k, precise=precise
+            )
+        if variant == "hca":
+            return qfn_hca(
+                params, banded, hca_data, covered, k=k, precise=precise
+            )
+        if packed:
+            return qfn_pk(
+                params, banded, pks, covered, variant=variant, k=k,
+                fuse=fuse, precise=precise,
+            )
+        return qfn(params, banded, covered, variant=variant, k=k,
+                   precise=precise)
+
+    if step == 1 and not batch_env:
+        # StepRatio-0 fast path: ONE device call per removal applies both
+        # layers' severs + covers the node + runs the next forward + top-1.
+        # Per-removal wall time on the tunnel is RTT-bound (~30 ms/call);
+        # the generic loop below costs 3-4 calls per removal (q, sever x2,
+        # cover), this path costs one.
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def fused_step(params, banded, pks, hd, covered, a,
+                       s0, d0, v0, s1, d1, v1, k):
+            if packed:
+                from mdcommunity_tpu.graphs.banded import apply_severs_packed
+
+                banded, pks = apply_severs_packed(banded, pks, 0, s0, d0, v0)
+                banded, pks = apply_severs_packed(banded, pks, 1, s1, d1, v1)
+            else:
+                banded = apply_severs(banded, 0, s0, d0, v0)
+                banded = apply_severs(banded, 1, s1, d1, v1)
+            covered = covered.at[a].set(True)
+            with _prec_ctx(precise):
+                if variant == "hca" and packed:
+                    q = banded_hca_forward_packed(
+                        params, banded, pks, hd, covered, precise=precise
+                    )
+                elif variant == "hca":
+                    q = banded_hca_forward(
+                        params, banded, hd, covered, precise=precise
+                    )
+                elif packed:
+                    q = banded_test_forward_packed(
+                        params, banded, pks, covered, variant=variant,
+                        fuse_sage=fuse, precise=precise,
+                    )
+                else:
+                    q = banded_test_forward(
+                        params, banded, covered, variant=variant,
+                        precise=precise,
+                    )
+            vals, order = jax.lax.top_k(q, k)
+            return banded, pks, covered, vals, order
+
+        pks_arg = pks if pks is not None else ()
+        vals, order = q_dispatch(banded, pks_arg if packed else pks,
+                                 covered_dev, step)
+        while not env.terminal and len(sol) < max_steps:
+            v = float(np.asarray(vals)[0])
+            a = int(np.asarray(order)[0])
+            if not np.isfinite(v) or env.covered[a]:
+                break
+            _, new_sev = env.step(a, degree_cost=(variant == "degree_cost"))
+            sol.append(a)
+            if env.terminal or len(sol) >= max_steps:
+                break
+            if any(len(new_sev[layer]) > 4096 for layer in range(2)):
+                # huge cascade report (t~0 of a badly coupled graph): the
+                # chunked sever path guards the O(E_ov x K) match size
+                for layer in range(2):
+                    if len(new_sev[layer]):
+                        banded = apply(banded, layer, new_sev[layer])
+                covered_dev = cover_one(covered_dev, a)
+                if packed:
+                    pks_arg = pks  # apply() updated pks via nonlocal
+                vals, order = q_dispatch(
+                    banded, pks_arg if packed else None, covered_dev, step
+                )
+                continue
+            kp = pad_pow2(max(len(new_sev[0]), len(new_sev[1]), 1))
+            sd = []
+            for layer in range(2):
+                ns = new_sev[layer]
+                s = np.zeros(kp, np.int32)
+                d = np.zeros(kp, np.int32)
+                vv = np.zeros(kp, bool)
+                s[: len(ns)] = ns[:, 0]
+                d[: len(ns)] = ns[:, 1]
+                vv[: len(ns)] = True
+                sd += [jnp.asarray(s), jnp.asarray(d), jnp.asarray(vv)]
+            banded, pks_arg, covered_dev, vals, order = fused_step(
+                params, banded, pks_arg, hca_data, covered_dev,
+                jnp.int32(a), *sd, k=step,
+            )
+            if packed:
+                pks = pks_arg
+        return sol, float(env.score), list(env.curve)
+
     while not env.terminal and len(sol) < max_steps:
         if variant == "hca" and packed:
             vals, order = qfn_hca_pk(
