@@ -83,6 +83,7 @@ def cmd_test_real(args):
                 step_ratio=args.step_ratio, variant=args.variant,
                 packed=args.packed, n_nodes=args.n_nodes,
                 layers=tuple(args.layers) if args.layers else None,
+                batch_env=args.batch_env, precise=not args.fast,
             )
             print(f"{name}: audc={score:.6f} time={t:.2f}s removed={len(sol)}")
         except FileNotFoundError as e:
@@ -238,6 +239,13 @@ def main(argv=None):
                    help="node count for datasets not in the built-in table")
     r.add_argument("--layers", type=int, nargs=2, default=None,
                    help="coupled layer pair for datasets not in the table")
+    r.add_argument("--batch-env", action="store_true",
+                   help="ONE host cascade per StepRatio batch "
+                        "(env.step_many; AUDC bias <= step/n — the "
+                        "10^6-node protocol)")
+    r.add_argument("--fast", action="store_true",
+                   help="bf16 eval forward (precise=False); default is the "
+                        "f32-precise quality path")
     r.set_defaults(fn=cmd_test_real)
 
     s = sub.add_parser("test-synthetic")
