@@ -26,6 +26,77 @@ from mdcommunity_tpu.graphs.duplex import DuplexGraph, stack_graphs
 from mdcommunity_tpu.rl.dqn import predict_q
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _make_fused_step(variant: str, packed: bool, fuse: bool, precise: bool):
+    """Module-level cache of the StepRatio-0 fused step (severs + cover +
+    forward + top-k in ONE device call).  MUST be cached here, not defined
+    per dismantle call: a fresh closure re-jits, and one compile costs ~40 s
+    on the tunnel."""
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def fused_step(params, banded, pks, hd, covered, packed_args, k):
+        # ONE uploaded buffer per step: [2, 3, PAD] sever arrays + the
+        # action appended at [0, 0, PAD] — separate uploads each cost a
+        # tunnel round trip
+        a = packed_args[0, 0, -1]
+        s0, d0, v0 = (packed_args[0, 0, :-1], packed_args[0, 1, :-1],
+                      packed_args[0, 2, :-1] != 0)
+        s1, d1, v1 = (packed_args[1, 0, :-1], packed_args[1, 1, :-1],
+                      packed_args[1, 2, :-1] != 0)
+        if packed:
+            from mdcommunity_tpu.graphs.banded import apply_severs_packed
+
+            banded, pks = apply_severs_packed(banded, pks, 0, s0, d0, v0)
+            banded, pks = apply_severs_packed(banded, pks, 1, s1, d1, v1)
+        else:
+            from mdcommunity_tpu.graphs.banded import apply_severs
+
+            banded = apply_severs(banded, 0, s0, d0, v0)
+            banded = apply_severs(banded, 1, s1, d1, v1)
+        covered = covered.at[a].set(True)
+        with _prec_ctx(precise):
+            if variant == "hca" and packed:
+                from mdcommunity_tpu.models.hca_banded import (
+                    banded_hca_forward_packed,
+                )
+
+                q = banded_hca_forward_packed(
+                    params, banded, pks, hd, covered, precise=precise
+                )
+            elif variant == "hca":
+                from mdcommunity_tpu.models.hca_banded import (
+                    banded_hca_forward,
+                )
+
+                q = banded_hca_forward(
+                    params, banded, hd, covered, precise=precise
+                )
+            elif packed:
+                from mdcommunity_tpu.models.net_packed import (
+                    banded_test_forward_packed,
+                )
+
+                q = banded_test_forward_packed(
+                    params, banded, pks, covered, variant=variant,
+                    fuse_sage=fuse, precise=precise,
+                )
+            else:
+                from mdcommunity_tpu.models.net import banded_test_forward
+
+                q = banded_test_forward(
+                    params, banded, covered, variant=variant, precise=precise
+                )
+        vals, order = jax.lax.top_k(q, k)
+        # one fetchable array: order is exact in f32 for pad_n < 2^24
+        vo = jnp.stack([vals, order.astype(jnp.float32)])
+        return banded, pks, covered, vo
+
+    return fused_step
+
+
 def _prec_ctx(precise: bool):
     """f32 matmul precision for quality-critical eval forwards (trace-time
     setting: applies to the dense layers traced inside the jitted q fns;
@@ -426,57 +497,33 @@ def dismantle_greedy_banded(
 
     if step == 1 and not batch_env:
         # StepRatio-0 fast path: ONE device call per removal applies both
-        # layers' severs + covers the node + runs the next forward + top-1.
-        # Per-removal wall time on the tunnel is RTT-bound (~30 ms/call);
-        # the generic loop below costs 3-4 calls per removal (q, sever x2,
-        # cover), this path costs one.
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def fused_step(params, banded, pks, hd, covered, a,
-                       s0, d0, v0, s1, d1, v1, k):
-            if packed:
-                from mdcommunity_tpu.graphs.banded import apply_severs_packed
-
-                banded, pks = apply_severs_packed(banded, pks, 0, s0, d0, v0)
-                banded, pks = apply_severs_packed(banded, pks, 1, s1, d1, v1)
-            else:
-                banded = apply_severs(banded, 0, s0, d0, v0)
-                banded = apply_severs(banded, 1, s1, d1, v1)
-            covered = covered.at[a].set(True)
-            with _prec_ctx(precise):
-                if variant == "hca" and packed:
-                    q = banded_hca_forward_packed(
-                        params, banded, pks, hd, covered, precise=precise
-                    )
-                elif variant == "hca":
-                    q = banded_hca_forward(
-                        params, banded, hd, covered, precise=precise
-                    )
-                elif packed:
-                    q = banded_test_forward_packed(
-                        params, banded, pks, covered, variant=variant,
-                        fuse_sage=fuse, precise=precise,
-                    )
-                else:
-                    q = banded_test_forward(
-                        params, banded, covered, variant=variant,
-                        precise=precise,
-                    )
-            vals, order = jax.lax.top_k(q, k)
-            return banded, pks, covered, vals, order
+        # layers' severs + covers the node + runs the next forward + top-1,
+        # and the (value, index) pair comes back as ONE array so the loop
+        # blocks on a single fetch.  Per-removal wall time on the tunnel is
+        # RTT-bound (~25 ms per blocking round trip); the generic loop below
+        # costs 2 fetches + 2-4 dispatches per removal.  The sever pad is a
+        # single fixed bucket (1024) so the step compiles exactly once —
+        # per-shape buckets cost a ~40 s tunnel compile EACH.
+        SEVER_PAD = 1024
+        fused_step = _make_fused_step(
+            variant, packed, fuse if packed and variant != "hca" else False,
+            precise,
+        )
 
         pks_arg = pks if pks is not None else ()
         vals, order = q_dispatch(banded, pks_arg if packed else pks,
                                  covered_dev, step)
+        vo = np.stack([np.asarray(vals), np.asarray(order).astype(np.float32)])
         while not env.terminal and len(sol) < max_steps:
-            v = float(np.asarray(vals)[0])
-            a = int(np.asarray(order)[0])
+            v = float(vo[0, 0])
+            a = int(vo[1, 0])
             if not np.isfinite(v) or env.covered[a]:
                 break
             _, new_sev = env.step(a, degree_cost=(variant == "degree_cost"))
             sol.append(a)
             if env.terminal or len(sol) >= max_steps:
                 break
-            if any(len(new_sev[layer]) > 4096 for layer in range(2)):
+            if any(len(new_sev[layer]) > SEVER_PAD for layer in range(2)):
                 # huge cascade report (t~0 of a badly coupled graph): the
                 # chunked sever path guards the O(E_ov x K) match size
                 for layer in range(2):
@@ -488,22 +535,22 @@ def dismantle_greedy_banded(
                 vals, order = q_dispatch(
                     banded, pks_arg if packed else None, covered_dev, step
                 )
+                vo = np.stack(
+                    [np.asarray(vals), np.asarray(order).astype(np.float32)]
+                )
                 continue
-            kp = pad_pow2(max(len(new_sev[0]), len(new_sev[1]), 1))
-            sd = []
+            buf = np.zeros((2, 3, SEVER_PAD + 1), np.int32)
             for layer in range(2):
                 ns = new_sev[layer]
-                s = np.zeros(kp, np.int32)
-                d = np.zeros(kp, np.int32)
-                vv = np.zeros(kp, bool)
-                s[: len(ns)] = ns[:, 0]
-                d[: len(ns)] = ns[:, 1]
-                vv[: len(ns)] = True
-                sd += [jnp.asarray(s), jnp.asarray(d), jnp.asarray(vv)]
-            banded, pks_arg, covered_dev, vals, order = fused_step(
+                buf[layer, 0, : len(ns)] = ns[:, 0]
+                buf[layer, 1, : len(ns)] = ns[:, 1]
+                buf[layer, 2, : len(ns)] = 1
+            buf[0, 0, -1] = a
+            banded, pks_arg, covered_dev, vo_dev = fused_step(
                 params, banded, pks_arg, hca_data, covered_dev,
-                jnp.int32(a), *sd, k=step,
+                jnp.asarray(buf), k=step,
             )
+            vo = np.asarray(vo_dev)
             if packed:
                 pks = pks_arg
         return sol, float(env.score), list(env.curve)
