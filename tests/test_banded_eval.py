@@ -178,3 +178,47 @@ def test_banded_greedy_step_batching_matches_dense(rng):
     )
     assert sol_d == sol_b
     np.testing.assert_allclose(score_d, score_b, rtol=1e-5)
+
+
+def test_batch_env_dismantle_within_bias_bound():
+    """batch_env=True (ONE cascade per StepRatio batch — the 10^6-node
+    protocol) must track the sequential loop within the documented
+    step/n AUDC bound and remove a near-identical node set."""
+    from mdcommunity_tpu.env.host_env import make_host_env
+    from mdcommunity_tpu.eval.metrics import dismantle_greedy_banded
+
+    rng = np.random.default_rng(7)
+    n = 1024
+    layers = []
+    for _ in range(2):
+        e = n * 3
+        src = rng.integers(0, n, e)
+        off = np.minimum(
+            (8.0 * (rng.pareto(2.5, e) + 1.0)).astype(np.int64), n // 2 - 1
+        ) * rng.choice(np.array([-1, 1]), e)
+        dst = (src + off) % n
+        keep = src != dst
+        layers.append(np.stack([src[keep], dst[keep]], 1))
+    e0, e1 = layers
+    params = init_params(jax.random.PRNGKey(0))
+    step = 32
+
+    def run(batch_env):
+        banded, _, (oe0, oe1) = build_banded_duplex(
+            n, e0, e1, S=128, B=128, max_rank=n
+        )
+        env = make_host_env(n, oe0, oe1)
+        return dismantle_greedy_banded(
+            params, banded, env, step=step, batch_env=batch_env
+        )
+
+    sol_seq, score_seq, _ = run(False)
+    sol_bat, score_bat, _ = run(True)
+    assert len(sol_bat) > 0
+    # batched score may only undershoot, by at most step/n (+ a small
+    # terminal-overshoot allowance on the pessimistic side)
+    assert score_bat <= score_seq + step / n
+    assert score_seq - score_bat <= step / n + 1e-9
+    # same prefix while the q trajectory agrees
+    prefix = min(16, len(sol_seq), len(sol_bat))
+    assert sol_seq[:prefix] == sol_bat[:prefix]
