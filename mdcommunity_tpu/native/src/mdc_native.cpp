@@ -106,7 +106,8 @@ struct DuplexEnv {
   std::vector<double> curve;
   UnionFind uf;                 // scratch
   std::vector<int32_t> label;   // scratch component labels
-  std::vector<int32_t> label0;  // converged layer-0 labels (rank counting)
+  std::vector<int32_t> lab_store[2];  // cached per-layer labelings
+  bool lab_dirty[2] = {true, true};   // stale since the layer last changed?
   std::vector<int64_t> sizes;   // scratch component sizes
 
   void refresh_alive(int l) {
@@ -144,24 +145,36 @@ struct DuplexEnv {
   }
 
   // Alternating MCC sever loop; fills layers[*].new_sever, sets rank.
+  //
+  // Per-side DIRTY flags skip redundant labelings: labels(side) depends
+  // only on side's alive edge set, which changes only when (a) nodes are
+  // covered (callers mark both sides dirty before cascade()) or (b) the
+  // loop severs side's edges (marked below).  A side whose edges were
+  // untouched since its last labeling keeps the identical partition, so
+  // the sever scan reuses the cached labels — at 10^6 nodes each skipped
+  // labeling saves an O(N + E_live) union-find pass (the 1M batched loop
+  // is host-cascade-bound; RESULTS r04 attribution).
   void cascade() {
     layers[0].new_sever.clear();
     layers[1].new_sever.clear();
     bool changed = true;
-    bool label0_fresh = false;
     while (changed) {
       changed = false;
       for (int side = 0; side < 2; ++side) {
         // components of layer `side`, sever cross edges in the other layer
-        labels(side);
-        if (side == 0) label0 = label;
+        if (lab_dirty[side]) {
+          labels(side);
+          lab_store[side] = label;
+          lab_dirty[side] = false;
+        }
+        auto& lab = lab_store[side];
         Layer& other = layers[1 - side];
         bool any = false;
         size_t w = 0;
         for (size_t r = 0; r < other.live_ids.size(); ++r) {
           int64_t i = other.live_ids[r];
           if (!other.alive[i]) continue;  // killed by covering meanwhile
-          if (label[other.u[i]] != label[other.v[i]]) {
+          if (lab[other.u[i]] != lab[other.v[i]]) {
             other.sever[i] = 1;
             other.alive[i] = 0;
             --other.alive_count;
@@ -174,24 +187,24 @@ struct DuplexEnv {
         other.live_ids.resize(w);
         if (any) {
           changed = true;
-          label0_fresh = false;
-        } else if (side == 0) {
-          // no layer-1 edge severed after computing layer-0 labels: if the
-          // loop exits now, label0 is still the converged labeling
-          label0_fresh = true;
+          lab_dirty[1 - side] = true;
         }
       }
     }
-    // rank: largest layer-0 component counted over uncovered nodes
-    if (!label0_fresh) {
+    // rank: largest layer-0 component counted over uncovered nodes (the
+    // cached labeling is the converged one — dirty[0] is false here, since
+    // the loop only exits after a full no-sever round)
+    if (lab_dirty[0]) {
       labels(0);
-      label0 = label;
+      lab_store[0] = label;
+      lab_dirty[0] = false;
     }
+    auto& lab0 = lab_store[0];
     sizes.assign(n, 0);
     int64_t best = 0;
     for (int32_t i = 0; i < n; ++i) {
       if (!covered[i]) {
-        int64_t s = ++sizes[label0[i]];
+        int64_t s = ++sizes[lab0[i]];
         if (s > best) best = s;
       }
     }
@@ -204,6 +217,7 @@ struct DuplexEnv {
       std::fill(layers[l].sever.begin(), layers[l].sever.end(), 0);
       refresh_alive(l);
     }
+    lab_dirty[0] = lab_dirty[1] = true;
     cascade();
     score = 0.0;
     curve.assign(1, 1.0);
@@ -223,6 +237,7 @@ struct DuplexEnv {
         }
       }
     }
+    lab_dirty[0] = lab_dirty[1] = true;
     cascade();
     double norm = (double)rank / (double)std::max<int64_t>(max_rank, 1);
     if (degree_cost) {
@@ -272,6 +287,7 @@ struct DuplexEnv {
       ++removed;
     }
     if (!removed) return 0;
+    lab_dirty[0] = lab_dirty[1] = true;
     cascade();
     double norm = (double)rank / (double)std::max<int64_t>(max_rank, 1);
     for (int32_t a : done) {
