@@ -24,3 +24,10 @@ def test_two_process_train_step():
     m = re.search(r"multihost_smoke OK: 2 processes, loss=([-\d.e]+)", out.stdout)
     assert m, out.stdout
     assert re.search(r"matches single-process loss", out.stdout), out.stdout
+    # round 5: the gp (halo-exchange) axis spanning both OS processes —
+    # every ppermute/all_gather of parallel/band_partition.py crosses the
+    # process boundary (the real pod's DCN/ICI path)
+    assert re.search(
+        r"gp=4 spanning both processes: band halo-exchange fwd\+VJP \+ "
+        r"banded_train_loss grad verified cross-process", out.stdout,
+    ), out.stdout
