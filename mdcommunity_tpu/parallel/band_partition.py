@@ -13,7 +13,12 @@ overlapped with local aggregation, >=80% edges/s scaling efficiency):
       - one `all_gather` of the compacted mirror table ([nb*C, D] — overflow
         edges ride the mirror compaction of dense_band, so long-range edges
         cost one small gather instead of any full-table traffic).
-    XLA schedules both on ICI and overlaps them with the local block einsums.
+    The overlap with local compute is STRUCTURAL (round 5): the interior
+    blocks' contraction — all but the first/last local block — is emitted
+    with no data dependence on either ppermute (verified on the compiled
+    HLO def-use graph by scripts/probe_overlap_structural.py), so any
+    backend may run the halo exchange concurrently with the bulk of the
+    FLOPs; only the 2-block boundary contraction waits for the halo.
   * Compare parallel/partition.py (`spmm_edge_partitioned`): that baseline
     psums the FULL [N, D] output every call — correct, but its collective
     volume grows with N; this one's is O(B·D + nb·C·D), independent of N/P.
@@ -68,11 +73,35 @@ def _band3_local(
     # tail); my head B rows -> left neighbor (I receive my RIGHT's head).
     left = jax.lax.ppermute(hcd[-B:], axis, fwd_perm)
     right = jax.lax.ppermute(hcd[:B], axis, bwd_perm)
-    prev_tail = jnp.concatenate([left[None], xb[:-1, S - B:]], axis=0)
-    nxt_head = jnp.concatenate([xb[1:, :B], right[None]], axis=0)
-    hw = jnp.concatenate([prev_tail, xb, nxt_head], axis=1)  # [nb_l, S+2B, D]
+    based = base_l.astype(dt)
 
-    out_ext = mm("bkw,bwd->bkd", base_l.astype(dt), hw)
+    # STRUCTURAL interior/boundary split (round 5): only the FIRST local
+    # block reads the left halo and only the LAST reads the right one, so
+    # the interior blocks' contraction — the bulk of the FLOPs — is issued
+    # with NO data dependence on either ppermute: the compiler is free to
+    # (and the dataflow proves it may) run the collectives concurrently
+    # with it, rather than us hoping the scheduler hoists pieces of one
+    # fused einsum.  The two boundary blocks contract separately once
+    # their halo row-strips arrive.  scripts/probe_overlap_structural.py
+    # verifies the dependence structure in the lowered HLO.
+    if nb_l >= 3:
+        hw_int = jnp.concatenate(
+            [xb[:-2, S - B:], xb[1:-1], xb[2:, :B]], axis=1
+        )  # [nb_l-2, S+2B, D] — purely local rows
+        out_int = mm("bkw,bwd->bkd", based[1:-1], hw_int)
+        hw_b = jnp.stack([
+            jnp.concatenate([left, xb[0], xb[1, :B]], axis=0),
+            jnp.concatenate([xb[-2, S - B:], xb[-1], right], axis=0),
+        ])  # [2, S+2B, D] — the only windows that touch the halo
+        out_b = mm("bkw,bwd->bkd", based[jnp.array([0, nb_l - 1])], hw_b)
+        out_ext = jnp.concatenate(
+            [out_b[:1], out_int, out_b[1:]], axis=0
+        )
+    else:
+        prev_tail = jnp.concatenate([left[None], xb[:-1, S - B:]], axis=0)
+        nxt_head = jnp.concatenate([xb[1:, :B], right[None]], axis=0)
+        hw = jnp.concatenate([prev_tail, xb, nxt_head], axis=1)
+        out_ext = mm("bkw,bwd->bkd", based, hw)
     out = out_ext[:, :S]
     if C and n_mirror:
         d = out.shape[-1]
