@@ -357,6 +357,7 @@ def banded_train_loss(
     max_bp_iter: int = 3,
     precise: bool = False,
     mesh=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """DQN loss on ONE large BandedDuplex: MSE(Q[actions], targets) +
     alpha·Laplacian embedding regularizer — the banded-engine analogue of the
@@ -369,7 +370,14 @@ def banded_train_loss(
     halos + mirror all_gather); the scalar loss reduces over the mesh, so
     jax.grad under the same mesh yields replicated parameter gradients.
     Verified against the single-device engine in __graft_entry__
-    .dryrun_multichip (grad parity)."""
+    .dryrun_multichip (grad parity).
+
+    remat: rematerialize the embedding under jax.checkpoint — the backward
+    pass recomputes the message-passing rounds instead of storing their
+    [pad_n, D] activations.  At 2^20 nodes the stored residuals of ~8
+    windowed aggregation passes exceed the v5e's HBM next to the resident
+    band operands (the 10^6-node fit OOMed without this); the aggregations
+    are DMA-bound, so the recompute costs far less than it frees."""
     inputs = _banded_inputs(bdx, covered, variant, mesh=mesh)
     live = ((~covered) & bdx.node_mask).astype(jnp.float32)
 
@@ -385,7 +393,12 @@ def banded_train_loss(
     def agg(_g, _inputs, layer, h):
         return spmm(bdx.dbg(layer), live, live, h[0], precise)[None]
 
-    h_f, y_f = _embed(params, None, inputs, max_bp_iter, aggregate_fn=agg)
+    def embed_fn(p):
+        return _embed(p, None, inputs, max_bp_iter, aggregate_fn=agg)
+
+    if remat:
+        embed_fn = jax.checkpoint(embed_fn)
+    h_f, y_f = embed_fn(params)
     q_layers = []
     for l in range(2):
         scal = y_f[l] @ params["cross_product"]          # [1, 1]

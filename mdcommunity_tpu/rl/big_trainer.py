@@ -209,9 +209,12 @@ def train_banded_loop(
     def _loss(p, b, cov, acts, tgts):
         with jax.default_matmul_precision("highest" if precise else
                                           "default"):
+            # remat: at 10^6 nodes the stored fwd residuals of the embed's
+            # aggregation passes OOM the chip next to the resident band
+            # operands; the passes are DMA-bound, so recompute is cheap
             return banded_train_loss(
                 p, b, cov, acts, tgts, alpha=alpha_recon, variant=variant,
-                precise=precise, mesh=mesh,
+                precise=precise, mesh=mesh, remat=True,
             )
 
     @jax.jit
