@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from mdcommunity_tpu.env.env import env_reset, env_step
-from mdcommunity_tpu.env.host_env import HostDuplexEnv
+from mdcommunity_tpu.env.host_env import HostDuplexEnv, make_host_env
 from mdcommunity_tpu.graphs.banded import apply_severs, build_banded_duplex
 from mdcommunity_tpu.graphs.duplex import build_duplex, stack_graphs
 from mdcommunity_tpu.models.net import banded_test_forward, init_params
@@ -222,3 +222,45 @@ def test_batch_env_dismantle_within_bias_bound():
     # same prefix while the q trajectory agrees
     prefix = min(16, len(sol_seq), len(sol_bat))
     assert sol_seq[:prefix] == sol_bat[:prefix]
+
+
+def test_fused_step_trajectory_matches_unfused():
+    """The StepRatio-0 fused per-removal step (ONE jit: severs + cover +
+    forward + top-1, eval/metrics._make_fused_step) must walk the exact
+    trajectory of the unfused per-removal loop on the XLA engine — any
+    state-update bug in the fused path (sever masking, covered update,
+    action extraction) shows up as divergence here.  (On TPU the packed
+    engine's fused compile can reassociate f32 sums and flip near-ties —
+    that drift is quantified and bounded by scripts/probe_fused_drift.py;
+    this test pins the structural contract where compiles are
+    deterministic.)"""
+    from mdcommunity_tpu.eval.metrics import dismantle_greedy_banded
+
+    rng = np.random.default_rng(7)
+    n = 1024
+    layers = []
+    for _ in range(2):
+        e = n * 3
+        src = rng.integers(0, n, e)
+        off = np.minimum(
+            (8.0 * (rng.pareto(2.5, e) + 1.0)).astype(np.int64), n // 2 - 1
+        ) * rng.choice(np.array([-1, 1]), e)
+        dst = (src + off) % n
+        keep = src != dst
+        layers.append(np.stack([src[keep], dst[keep]], 1))
+    params = init_params(jax.random.PRNGKey(0))
+
+    def run(batch_env):
+        banded, _, (oe0, oe1) = build_banded_duplex(
+            n, layers[0], layers[1], S=128, B=128, max_rank=n
+        )
+        env = make_host_env(n, oe0, oe1)
+        return dismantle_greedy_banded(
+            params, banded, env, step=1, batch_env=batch_env,
+            max_steps=150, precise=True,
+        )
+
+    sol_f, score_f, _ = run(False)   # fused single-jit path
+    sol_u, score_u, _ = run(True)    # generic per-removal path
+    assert sol_f == sol_u
+    assert abs(score_f - score_u) < 1e-12
