@@ -281,8 +281,9 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
     "noscale" skips the in-kernel parity scale extraction + multiplies,
     "nodot" skips the contraction dots (DMA + scales only), "noh"
     additionally skips the manual h-window DMAs (base/scale/out streams
-    only — isolates the h path's cost) — all produce WRONG results and
-    exist only to attribute kernel time."""
+    only — isolates the h path's cost), "hlin" streams h linearly with no
+    window overlap (each program fetches only its own GS/2 rows) — all
+    produce WRONG results and exist only to attribute kernel time."""
     W2 = S + 2 * B
     Wh = W2 // 2  # packed window rows per block
     Sh = S // 2
@@ -475,6 +476,27 @@ def _make_kernel(nb, S, B, Cp, D, G, diag="full", dtype=jnp.float32,
 
             def wait(prog, slot):  # noqa: F811
                 _halo_go(prog, slot, lambda dma: dma.wait())
+
+        if diag == "hlin" and not halo:
+            # TIMING DIAG: perfectly linear h stream — every program fetches
+            # ONLY its own GS/2 packed rows (the `main` piece), skipping the
+            # B-row window overlap and the first/last programs' wrap pieces.
+            # Produces WRONG results (halo regions go stale); isolates the
+            # cost of the window structure vs the minimal-probe linear
+            # stream (hbm_roof.json "streams floor", r04 weak point).
+            def _h_main(prog, slot):
+                m64 = lambda x: pl.multiple_of(x, 64)  # noqa: E731
+                return pltpu.make_async_copy(
+                    h2_hbm.at[pl.ds(m64(prog * (GS // 2)), GS // 2)],
+                    win.at[slot, pl.ds(B // 2, GS // 2)],
+                    sems.at[slot, 0],
+                )
+
+            def start(prog, slot):  # noqa: F811
+                _h_main(prog, slot).start()
+
+            def wait(prog, slot):  # noqa: F811
+                _h_main(prog, slot).wait()
 
         slot = jax.lax.rem(p, 2)
         nxt = jax.lax.rem(p + 1, 2)

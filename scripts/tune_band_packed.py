@@ -149,7 +149,7 @@ def main():
         if args.diag:
             from mdcommunity_tpu.ops.band_pallas import _apply
 
-            for diag in ("full", "noscale", "nodot"):
+            for diag in ("full", "noscale", "nodot", "hlin", "noh"):
                 @jax.jit
                 def chain_d(pk, dbg, row, col, h2, _d=diag):
                     def body(i, x2):
