@@ -119,6 +119,7 @@ def train_banded_loop(
     eps_end: float = 0.02,
     target_update: int = 100,
     fits_per_step: int = 1,
+    stop_rank_sqrt: bool = True,
     packed: bool = True,
     precise: bool = True,
     pack_G: int = 8,
@@ -139,6 +140,16 @@ def train_banded_loop(
     mesh: run gp-sharded — banded0/pks and the covered vector must already
     be sharded by the caller (parallel.band_partition.shard_* helpers);
     actions/targets stay replicated.  The host env side is unchanged.
+
+    stop_rank_sqrt: end the training episode once rank <= sqrt(N) — the
+    reference's own synthetic stopping rule (hda_2max_syn.py:78-81).  The
+    first naive 2^20 run (train1m_n1048576_naive.jsonl) showed why this
+    matters at macro scale: past rank collapse the episode spends ~60% of
+    its iterations in a degenerate tail (norm ~ 0, rewards ~ 0) where the
+    TD targets reduce to pure bootstrap — max-Q inflated 0.03 -> 0.16 over
+    350 such fits and the fine-tuned policy got 6x WORSE on greedy eval.
+    Stopping at the sqrt(N) rank keeps every fit on states the eval
+    protocol actually visits.
     """
     from mdcommunity_tpu.models.net import banded_test_forward, banded_train_loss
 
@@ -338,12 +349,17 @@ def train_banded_loop(
                 f"norm {norm:.4f} loss {loss_v:.3e} maxq {maxq:.4f} "
                 f"t {row['t_iter_s']:.2f}s")
 
-        if env.terminal:
+        ep_done = env.terminal or (
+            stop_rank_sqrt and env.rank * env.rank <= n
+        )
+        if ep_done:
             history.append({
                 "episode_end": episode, "audc": float(env.score),
                 "removals": int(env.t), "iters_used": it + 1,
+                "terminal": bool(env.terminal), "rank": int(env.rank),
             })
-            log(f"[big] episode {episode} terminal: AUDC {env.score:.6f} "
+            log(f"[big] episode {episode} done (terminal={env.terminal}, "
+                f"rank={env.rank}): AUDC {env.score:.6f} "
                 f"({env.t} removals)")
             banded, pks, covered = reset_episode()
             episode += 1

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--no-packed", action="store_true")
     ap.add_argument("--no-eval", action="store_true",
                     help="skip the greedy before/after AUDC evals")
+    ap.add_argument("--skip-pre-eval", action="store_true",
+                    help="skip only the before eval (already measured: "
+                         "0.030207 on this graph/seed, r04+r05 artifacts)")
     args = ap.parse_args()
     os.makedirs(args.output, exist_ok=True)
     out_path = os.path.join(args.output, f"train1m_n{args.n}.jsonl")
@@ -94,7 +97,7 @@ def main():
               "removals": len(sol), "solve_s": round(time.time() - t1, 1)})
         return score
 
-    if not args.no_eval:
+    if not args.no_eval and not args.skip_pre_eval:
         greedy_eval(params, "before")
 
     env = make_host_env(args.n, oe0, oe1)
