@@ -136,11 +136,13 @@ def main():
                     args_t = (jnp.asarray(h0),)
                 v, g = f(*args_t)
                 jax.block_until_ready(g)  # compile
-                t0 = time.perf_counter()
-                for i in range(args.iters):
-                    v, g = f(*args_t)
-                    acc = float(v)
-                dt = (time.perf_counter() - t0) / args.iters
+                dt = float("inf")
+                for _rep in range(3):  # best-of-3: min is robust to host-
+                    t0 = time.perf_counter()  # scheduling outliers on the
+                    for i in range(args.iters):  # oversubscribed CPU box
+                        v, g = f(*args_t)
+                        acc = float(v)
+                    dt = min(dt, (time.perf_counter() - t0) / args.iters)
             eps = e_real / dt
             if base is None:
                 base = eps
