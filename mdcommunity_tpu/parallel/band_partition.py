@@ -191,14 +191,26 @@ def _packed_local(
     *, S, B, Cp, G, D, n_mirror, nparts, interpret, nibble,
 ):
     """One shard's packed band contraction: ppermute h/col halos, pre-gather
-    scale windows, mirror compaction + all_gather, then ONE Pallas pass in
+    scale windows, mirror compaction + all_gather, then the Pallas kernel in
     halo mode (ops.band_pallas._make_kernel(halo=True): linear windows over
-    [lh | h2 | rh])."""
+    [lh | h2 | rh]).
+
+    STRUCTURAL interior/boundary split (round 5, mirroring _band3_local):
+    only the first and last G-block programs read the ppermuted halo
+    strips, so the kernel runs as THREE calls — the interior programs (fed
+    exclusively by local h2/col rows, including their "halo" refs, which
+    are just neighboring local slices) plus one single-program call per
+    boundary.  The interior call — the bulk of the work — therefore has no
+    data dependence on either ppermute and may run concurrently with the
+    halo exchange on any backend.  (When Cp > 0 the mirror `mine` operand
+    still gates every call on the mirror all_gather: mirror contributions
+    are inherently global.  n_prog < 3 keeps the single fused call.)"""
     from mdcommunity_tpu.ops.band_pallas import _make_kernel
 
     axis = "gp"
     local_nb = base_pk.shape[0]
     Sh, Bh = S // 2, B // 2
+    GSh = G * Sh  # packed rows per program
     n_prog = local_nb // G
     fwd_perm = [(i, (i + 1) % nparts) for i in range(nparts)]
     bwd_perm = [(i, (i - 1) % nparts) for i in range(nparts)]
@@ -210,15 +222,10 @@ def _packed_local(
     GR = G * S // 128
     BR = B // 128
     WR = GR + 2 * BR
-    colv = jnp.concatenate([lc, col, rc]).reshape(-1, 128)
-    ci = jnp.arange(n_prog)[:, None] * GR + jnp.arange(WR)[None, :]
-    colw = jnp.take(colv, ci, axis=0)                 # [n_prog, WR, 128]
+    colv_loc = col.reshape(-1, 128)
     roww = row.reshape(n_prog, GR, 128)
 
-    run = _make_kernel(
-        local_nb, S, B, Cp, D, G, "full", h2.dtype, halo=True, nibble=nibble
-    )
-    args = [base_pk, h2, colw, roww, lh, rh]
+    geT_mine = None
     if Cp:
         from mdcommunity_tpu.ops.band_pallas import mirror_compact
 
@@ -231,9 +238,56 @@ def _packed_local(
         p = jax.lax.axis_index(axis)
         mine = jax.lax.dynamic_slice_in_dim(
             sub, p * local_nb * Cp, local_nb * Cp
+        ).reshape(local_nb, Cp, D)
+        geT_mine = (geT, mine)
+
+    def call(b0, b1, h2_sub, lh_sub, rh_sub, colw_sub, roww_sub):
+        nb_sub = b1 - b0
+        run = _make_kernel(
+            nb_sub, S, B, Cp, D, G, "full", h2.dtype, halo=True,
+            nibble=nibble,
         )
-        args += [geT, mine.reshape(local_nb, Cp, D)]
-    out = run(*args, interpret=interpret)             # [local_nb, Sh, 2D]
+        args = [base_pk[b0:b1], h2_sub, colw_sub, roww_sub, lh_sub, rh_sub]
+        if Cp:
+            args += [geT_mine[0][b0:b1], geT_mine[1][b0:b1]]
+        return run(*args, interpret=interpret)  # [nb_sub, Sh, 2D]
+
+    if n_prog >= 3:
+        # boundary col windows: [lc | local rows] and [local rows | rc]
+        colw_f = jnp.concatenate(
+            [lc.reshape(BR, 128), colv_loc[:WR - BR]], axis=0
+        )[None]
+        colw_l = jnp.concatenate(
+            [colv_loc[len(colv_loc) - (WR - BR):], rc.reshape(BR, 128)],
+            axis=0,
+        )[None]
+        # interior col windows: purely local rows (no collective ancestry)
+        ci_int = (
+            jnp.arange(1, n_prog - 1)[:, None] * GR - BR
+            + jnp.arange(WR)[None, :]
+        )
+        colw_int = jnp.take(colv_loc, ci_int, axis=0)
+
+        out_int = call(
+            G, local_nb - G,
+            h2[GSh:(n_prog - 1) * GSh],
+            h2[GSh - Bh:GSh],                       # local "halo" slices
+            h2[(n_prog - 1) * GSh:(n_prog - 1) * GSh + Bh],
+            colw_int, roww[1:-1],
+        )
+        out_f = call(0, G, h2[:GSh], lh, h2[GSh:GSh + Bh], colw_f, roww[:1])
+        out_l = call(
+            local_nb - G, local_nb,
+            h2[(n_prog - 1) * GSh:],
+            h2[(n_prog - 1) * GSh - Bh:(n_prog - 1) * GSh], rh,
+            colw_l, roww[-1:],
+        )
+        out = jnp.concatenate([out_f, out_int, out_l], axis=0)
+    else:
+        colv = jnp.concatenate([lc, col, rc]).reshape(-1, 128)
+        ci = jnp.arange(n_prog)[:, None] * GR + jnp.arange(WR)[None, :]
+        colw = jnp.take(colv, ci, axis=0)             # [n_prog, WR, 128]
+        out = call(0, local_nb, h2, lh, rh, colw, roww)
     return out.reshape(local_nb * Sh, 2 * D)
 
 

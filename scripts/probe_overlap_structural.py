@@ -138,6 +138,86 @@ def main():
         "ok": bool(free) and bool(gated)
         and max(s for _, s in free) > max(s for _, s in gated),
     }
+
+    # --- packed engine: same dependence check on the JAXPR (the Pallas
+    # calls don't surface as dots in backend HLO; jaxpr dataflow is the
+    # backend-independent ground truth).  Expect 3 pallas_calls per pass —
+    # the interior (largest output) free of ppermute ancestry, the two
+    # boundary calls gated.
+    from mdcommunity_tpu.ops.band_pallas import pack_band, pack_rows
+    from mdcommunity_tpu.parallel.band_partition import (
+        shard_packed_band, spmm_band_packed_sharded,
+    )
+
+    pk = pack_band(dbg, G=2)  # 32 blocks / gp=8 -> 4 blocks = 2 programs?
+    # need n_prog >= 3 per shard: 64 blocks / 8 shards = 8 blocks, G=2 ->
+    # n_prog = 4 per shard
+    with mesh:
+        pk_s = shard_packed_band(mesh, pk)
+        h2 = pack_rows(jnp.asarray(
+            np.zeros((dbg.pad_n, 64), np.float32)))
+        h2_s, row2, col2 = shard_band_vectors(
+            mesh, h2, jnp.ones(dbg.pad_n), jnp.ones(dbg.pad_n)
+        )
+
+        def fp(k, b, r, c, hh):
+            return spmm_band_packed_sharded(mesh, k, b, r, c, hh,
+                                            interpret=True)
+
+        jaxpr = jax.make_jaxpr(fp)(pk_s, dbg_s, row2, col2, h2_s)
+
+    def walk(jx, depends, into):
+        """Collect (eqn_kind, output_elems, gated_by_perm) for pallas/perm
+        eqns, propagating ppermute-tainted vars through the (flattened)
+        equation list of all nested jaxprs."""
+        for eqn in jx.eqns:
+            sub = [v for v in eqn.params.values()
+                   if hasattr(v, "jaxpr") or hasattr(v, "eqns")]
+            tainted = any(
+                getattr(v, "count", None) in depends for v in eqn.invars
+                if hasattr(v, "count")
+            )
+            name = eqn.primitive.name
+            if name == "ppermute":
+                for o in eqn.outvars:
+                    depends.add(o.count)
+                into.append((name, 0, False))
+                continue
+            if tainted:
+                for o in eqn.outvars:
+                    depends.add(o.count)
+            if name == "pallas_call":
+                sz = max(int(np.prod(o.aval.shape)) for o in eqn.outvars)
+                into.append((name, sz, tainted))
+            for v in sub:
+                inner = getattr(v, "jaxpr", v)
+                # closed jaxprs inside (pjit/shard_map/custom_vjp bodies):
+                # taint propagation across the call boundary is positional
+                walk_nested(inner, eqn, depends, into)
+        return into
+
+    def walk_nested(inner, eqn, depends, into):
+        # map outer tainted invars onto inner binder vars positionally
+        inner_jaxpr = getattr(inner, "jaxpr", inner)
+        local = set()
+        outer_in = [v for v in eqn.invars if hasattr(v, "count")]
+        for i, bv in enumerate(getattr(inner_jaxpr, "invars", [])):
+            if i < len(outer_in) and outer_in[i].count in depends:
+                local.add(bv.count)
+        walk(inner_jaxpr, local | depends, into)
+
+    found = []
+    walk(jaxpr.jaxpr, set(), found)
+    pcs = [(sz, gated) for nm, sz, gated in found if nm == "pallas_call"]
+    pcs.sort(key=lambda t: -t[0])
+    result["packed_pallas_calls"] = len(pcs)
+    if pcs:
+        result["packed_interior_gated_by_halo"] = bool(pcs[0][1])
+        result["packed_boundary_gated"] = [bool(g) for _s, g in pcs[1:]]
+        result["packed_ok"] = (
+            len(pcs) >= 3 and not pcs[0][1] and any(g for _s, g in pcs[1:])
+        )
+        result["ok"] = result["ok"] and result["packed_ok"]
     print(json.dumps(result))
     assert result["ok"], result
 
