@@ -146,7 +146,7 @@ def _start_watchdog(timeout_s=720):
     os._exit(0)
 
 
-def _measure(e, n=1 << 20, dim=64, S=256, B=128, G=8, Ks=(8, 40), seed=0):
+def _measure(e, n=1 << 20, dim=64, S=256, B=128, G=32, Ks=(8, 40), seed=0):
     """Build the workload at `e` directed edges and time the fwd+bwd chain
     by K-SCALING: run the chain at each K in Ks and take the slope of
     median-time vs K as the per-iteration time.
