@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--skip-pre-eval", action="store_true",
                     help="skip only the before eval (already measured: "
                          "0.030207 on this graph/seed, r04+r05 artifacts)")
+    ap.add_argument("--eval-k", type=int, default=None,
+                    help="StepRatio batch for the greedy evals (default: "
+                         "same as --k; pin to 1048 when sweeping the "
+                         "TRAINING k so the eval protocol stays fixed)")
     args = ap.parse_args()
     os.makedirs(args.output, exist_ok=True)
     out_path = os.path.join(args.output, f"train1m_n{args.n}.jsonl")
@@ -86,11 +90,13 @@ def main():
 
     packed = not args.no_packed
 
+    eval_k = args.eval_k or args.k
+
     def greedy_eval(p, tag):
         env_e = make_host_env(args.n, oe0, oe1)
         t1 = time.time()
         sol, score, curve = dismantle_greedy_banded(
-            p, banded, env_e, step=args.k, packed=packed,
+            p, banded, env_e, step=eval_k, packed=packed,
             batch_env=True, precise=True,
         )
         emit({"phase": f"eval_{tag}", "audc": round(score, 6),
